@@ -1,0 +1,270 @@
+"""Kernel unit tests — vectorized kernels vs independent scalar oracles
+written directly from the reference C (file:line cited in kernels.py), plus
+a frozen golden snapshot of the full feature vector on deterministic inputs.
+No Spark involved.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from photohive_spark import kernels as K
+from photohive_spark.config import DEFAULT_CONFIG as CFG, VOCAB_SIZE
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "kernel_goldens.json")
+
+
+def scalar_newton_int_sqrt(val: float) -> int:
+    # verbatim from src/utilities.c:43-52
+    if val == 0:
+        return 0
+    x = val
+    while True:
+        s = 0.5 * (x + val / x)
+        if abs(s - x) < 1:
+            return int(s)
+        x = s
+
+
+def reciprocal_tokens(n=512):
+    # the reference's deterministic test pattern r=1/(i+1) (src/debug.c:53-61)
+    # scaled into token space
+    return (np.array([VOCAB_SIZE / (i + 1) for i in range(n)])).astype(np.int32)
+
+
+def rng_tokens(n=2000, seed=42):
+    return np.random.default_rng(seed).integers(0, VOCAB_SIZE, size=n, dtype=np.int32)
+
+
+def test_newton_int_sqrt_matches_scalar():
+    vals = np.concatenate([
+        np.arange(0, 200, dtype=np.float64),
+        np.array([0.5, 1.5, 2.25, 3.9999, 4.0001, 99.9, 100.0, 100.1]),
+        np.random.default_rng(1).uniform(0, 1e8, 500),
+    ])
+    got = K.newton_int_sqrt(vals)
+    want = np.array([scalar_newton_int_sqrt(v) for v in vals])
+    assert (got == want).all()
+
+
+def test_convolve_circular_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=72)
+    h = np.ones(5)
+    got = K.convolve_circular(x, h)
+    n, k = len(x), len(h)
+    want = np.zeros(n)
+    for i in range(n):
+        for j in range(k):
+            want[i] += x[(i - j + n) % n] * h[j]
+        want[i] /= k
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+def test_filter_same_zeropad_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=50)
+    kern = K.LAPLACIAN_1D
+    got = K.filter_same_zeropad(x, kern)
+    k, off, n = len(kern), len(kern) // 2, len(x)
+    want = np.zeros(n)
+    for i in range(n):
+        for j in range(k):
+            ix = i + j - off
+            if 0 <= ix < n:
+                want[i] += x[ix] * kern[j]
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+def scalar_bin_id(h, s, v):
+    # verbatim from arm_octree, src/color_quantization.c:127-145
+    total = CFG.hist_cells
+    if v < CFG.black_thresh:
+        return total - 1
+    if s < CFG.gray_thresh:
+        vi = int(int(v - CFG.black_thresh) * CFG.num_grays / (1 - CFG.black_thresh))
+        return total - (CFG.num_grays + 1) + vi
+    vi = int((v - CFG.black_thresh) / CFG.Lv)
+    si = int((s - CFG.gray_thresh) / CFG.Ls)
+    hi = int(h / CFG.Lh)
+    return (hi * CFG.s_parts + si) * CFG.v_parts + vi
+
+
+def test_hist_bin_ids_match_scalar():
+    h, s, v = K.derive_hsv(rng_tokens(3000))
+    got = K.hist_bin_ids(h, s, v)
+    want = np.array([scalar_bin_id(hh, ss, vv) for hh, ss, vv in zip(h, s, v)])
+    assert (got == want).all()
+    assert got.min() >= 0 and got.max() < CFG.hist_cells
+
+
+def test_histogram_sums_and_entropy():
+    h, s, v = K.derive_hsv(rng_tokens(5000))
+    counts = K.token_histogram(h, s, v)
+    assert counts.sum() == 5000
+    assert len(counts) == 112  # 18*2*3 + 3 + 1
+    e = K.entropy(counts)
+    assert 0 < e <= math.log(112)
+    assert K.entropy(np.zeros(4)) == 0.0
+
+
+def test_find_valid_parents_coverage_property():
+    h, s, v = K.derive_hsv(rng_tokens(5000))
+    counts = K.token_histogram(h, s, v)
+    parents = K.find_valid_parents(counts)
+    total = counts.sum()
+    goal = int(total * CFG.coverage_thresh)
+    covered = counts[parents].sum()
+    assert covered >= goal
+    # minimality: dropping the last parent falls below goal
+    sal = K.saliency_scores(counts)
+    order = sorted(parents, key=lambda p: (-sal[p], p))
+    assert counts[order[:-1]].sum() < goal
+
+
+def test_palette_properties():
+    h, s, v = K.derive_hsv(rng_tokens(5000))
+    pal = K.palette(h, s, v)
+    assert len(pal) >= 1
+    total_pct = sum(p[3] for p in pal)
+    assert 0.95 <= total_pct <= 1.0 + 1e-9  # >= coverage, <= all
+    for hh, ss, vv, pct in pal:
+        assert 0 <= hh <= 360 and 0 <= ss < 1 and 0 <= vv < 1 and 0 < pct <= 1
+
+
+def test_palette_circular_mean_wraps():
+    # tokens whose hue clusters around 0/360 must average near 0, not 180
+    cfg = CFG
+    # build synthetic hsv directly: hues at 5 and 355, colorful s,v
+    h = np.array([5.0] * 50 + [355.0] * 50)
+    s = np.full(100, 0.8)
+    v = np.full(100, 0.8)
+    pal = K.palette(h, s, v, cfg)
+    # dominant parent's average hue must be near 0 or 360, never mid-range
+    assert all(not (90 < p[0] < 270) for p in pal if p[3] > 0.3)
+
+
+def test_spectrum_bands_shape_and_dc_removal():
+    x = rng_tokens(4096) / VOCAB_SIZE
+    bands = K.spectrum_bands(x)
+    assert bands.shape == (40,)
+    assert np.isfinite(bands).all()
+    assert (bands >= 0).all() and (bands <= 1.0 + 1e-9).all()
+    # constant input -> all zero (DC removed)
+    assert (K.spectrum_bands(np.full(1000, 0.5)) == 0).all()
+    # short input degrades gracefully
+    assert K.spectrum_bands(np.arange(10) / 10.0).shape == (40,)
+
+
+def test_autocorr_lag0_is_one_and_periodicity():
+    n = 2048
+    x = np.sin(2 * np.pi * np.arange(n) / 16)
+    ac = K.autocorr(x)
+    assert ac.shape == (16,)
+    assert ac[0] == pytest.approx(1.0)
+    assert ac[8] < -0.9  # half-period anticorrelation
+
+
+def test_blur_profile_and_peaks():
+    # strong periodic structure -> detectable spectral peak
+    n = 8192
+    t = np.arange(n)
+    x = 0.5 + 0.4 * np.sin(2 * np.pi * t / 8)
+    prof = K.blur_profile_2d(x)
+    assert prof.shape == (72, 40)
+    assert np.isfinite(prof).all()
+    peaks = K.spectral_peaks(prof)
+    assert len(peaks) <= 10
+    for ang, mag in peaks:
+        assert -90 <= ang <= 90 and 0.0 <= mag <= 1.0
+
+
+def test_sharpness_and_bandpass():
+    x = rng_tokens(1000) / VOCAB_SIZE
+    sa = K.sharpness_avg(x)
+    assert sa >= 0
+    rois = K.sharpness_rois(x, [(0, 100), (100, 500)])
+    assert len(rois) == 2
+    assert K.sharpness_rois(x, None) == []
+    be = K.bandpass_energy(x)
+    assert be.shape == (6,) and (be >= 0).all()
+
+
+def test_downsample_and_minmax():
+    t = np.arange(100, dtype=np.int32)
+    assert (K.downsample(t, 3) == t[::3]).all()
+    assert (K.downsample(t, 1) == t).all()
+    nm = K.minmax_normalize(np.array([2.0, 4.0, 6.0]))
+    assert np.allclose(nm, [0, 0.5, 1.0])
+    assert (K.minmax_normalize(np.full(5, 3.0)) == 0).all()
+
+
+def _snapshot(tokens):
+    f = K.extract_features(tokens)
+    return {
+        "rms_mean": f["rms_mean"], "rms_std": f["rms_std"],
+        "mean_norm_value": f["mean_norm_value"],
+        "hist_counts": [int(c) for c in f["hist_counts"]],
+        "hist_entropy": f["hist_entropy"],
+        "palette": [list(p) for p in f["palette"]],
+        "spectrum_bands": list(f["spectrum_bands"]),
+        "spectral_peaks": [list(p) for p in f["spectral_peaks"]],
+        "autocorr": list(f["autocorr"]),
+        "bandpass_energy": list(f["bandpass_energy"]),
+        "sharpness_avg": f["sharpness_avg"],
+    }
+
+
+def test_extract_features_golden():
+    """Frozen golden snapshot: guards against accidental semantic drift of
+    any kernel across rounds.  Regenerate ONLY on deliberate semantic change
+    by deleting tests/golden/kernel_goldens.json."""
+    cases = {
+        "reciprocal_512": reciprocal_tokens(512),
+        "rng_2000": rng_tokens(2000),
+        "rng_401": rng_tokens(401, seed=7),
+    }
+    snaps = {k: _snapshot(v) for k, v in cases.items()}
+    if not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as fh:
+            json.dump(snaps, fh, indent=1)
+    with open(GOLDEN) as fh:
+        want = json.load(fh)
+    for case, snap in snaps.items():
+        for key, val in snap.items():
+            wv = want[case][key]
+            if isinstance(val, list) and val and isinstance(val[0], list):
+                assert np.allclose(np.array(val, dtype=float),
+                                   np.array(wv, dtype=float),
+                                   rtol=1e-9, atol=1e-12), (case, key)
+            elif isinstance(val, list):
+                assert np.allclose(np.array(val, dtype=float),
+                                   np.array(wv, dtype=float),
+                                   rtol=1e-9, atol=1e-12), (case, key)
+            else:
+                assert val == pytest.approx(wv, rel=1e-9), (case, key)
+
+
+def test_assign_parents_matches_scalar_loop():
+    h, s, v = K.derive_hsv(rng_tokens(3000, seed=11))
+    counts = K.token_histogram(h, s, v)
+    parents = K.find_valid_parents(counts)
+    got = K.assign_parents(counts, parents)
+    nominals = K.cell_nominals(CFG)
+    for cell in range(CFG.hist_cells):
+        if counts[cell] == 0 and cell not in set(parents.tolist()):
+            assert got[cell] == -1
+            continue
+        if cell in set(parents.tolist()):
+            assert got[cell] == cell
+            continue
+        best, bestd = -1, float("inf")
+        for p in parents:
+            d = K.node_distance(cell, int(p), nominals, CFG)
+            if d < bestd:
+                bestd, best = d, int(p)
+        assert got[cell] == best, cell
