@@ -1,0 +1,153 @@
+"""DataFrame feature-extraction pipeline.
+
+The Spark recast of the reference's entry point ``get_full_report_data``
+(``src/interface.c:20-94``): one Arrow-batched ``mapInPandas`` stage runs the
+full kernel DAG per row (all-numpy, see kernels.py), emitting one feature
+row per (doc_id, event_ts) — the ``Full_Report_Data`` analog
+(``src/utilities.h:30-37``).
+
+Scale notes (100 TB / 10^12 rows):
+- the extraction is embarrassingly parallel: NO shuffle is introduced —
+  mapInPandas runs straight over scan partitions, so throughput scales
+  linearly with executors and the only data movement is the Arrow IPC hop
+  JVM -> Python worker (the analog of the reference's ctypes FFI boundary,
+  ``lib.py:22-34``);
+- column pruning: the kernel stage selects only the 5 input columns;
+- skew: per-row cost is O(n_tok log n_tok) (FFT) — the long n_tok tail is
+  handled by ``skew.rebalance_by_cost`` (optional pre-pass) which
+  repartitions by cumulative cost rather than row count;
+- token-array equality in = out is an invariant: tokens pass through the
+  kernel untouched (tested byte-exact in tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from . import kernels as K
+from .config import DEFAULT_CONFIG, VOCAB_SIZE, EngineConfig
+
+# Output schema — analog of Full_Report_Data (src/utilities.h:30-37) with
+# the fixed-width flattening precedent of to_json (reference core.py:388-436):
+# palette capped at 100, peaks at 10, sharpness at 10.
+FEATURE_FIELDS = [
+    T.StructField("rms_mean", T.DoubleType()),
+    T.StructField("rms_std", T.DoubleType()),
+    T.StructField("mean_norm_value", T.DoubleType()),
+    T.StructField("hist_counts", T.ArrayType(T.LongType())),
+    T.StructField("hist_entropy", T.DoubleType()),
+    T.StructField("palette", T.ArrayType(T.StructType([
+        T.StructField("h", T.DoubleType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("pct", T.DoubleType()),
+    ]))),
+    T.StructField("spectrum_bands", T.ArrayType(T.DoubleType())),
+    T.StructField("spectral_peaks", T.ArrayType(T.StructType([
+        T.StructField("angle", T.IntegerType()),
+        T.StructField("magnitude", T.DoubleType()),
+    ]))),
+    T.StructField("autocorr", T.ArrayType(T.DoubleType())),
+    T.StructField("bandpass_energy", T.ArrayType(T.DoubleType())),
+    T.StructField("sharpness_avg", T.DoubleType()),
+]
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("event_ts", T.TimestampType()),
+    *FEATURE_FIELDS,
+])
+
+
+def features_row(tokens: np.ndarray, cfg: EngineConfig) -> dict:
+    """One row's feature dict, shaped for the Arrow schema above."""
+    f = K.extract_features(tokens, cfg)
+    return {
+        "rms_mean": f["rms_mean"],
+        "rms_std": f["rms_std"],
+        "mean_norm_value": f["mean_norm_value"],
+        "hist_counts": f["hist_counts"].tolist(),
+        "hist_entropy": f["hist_entropy"],
+        "palette": [{"h": h, "s": s, "v": v, "pct": p}
+                    for (h, s, v, p) in f["palette"][:100]],
+        "spectrum_bands": f["spectrum_bands"].tolist(),
+        "spectral_peaks": [{"angle": int(a), "magnitude": float(m)}
+                           for (a, m) in f["spectral_peaks"][:10]],
+        "autocorr": f["autocorr"].tolist(),
+        "bandpass_energy": f["bandpass_energy"].tolist(),
+        "sharpness_avg": f["sharpness_avg"],
+    }
+
+
+def _make_kernel(cfg: EngineConfig):
+    """Build the mapInPandas function. The per-batch loop is Python over
+    rows *within* an Arrow batch, but every kernel call is vectorized numpy
+    over the whole token array — the reference's 'whole-plane vectorized'
+    style (SURVEY §1.2); there is no Spark-level per-row Python."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, toks, n_tok, source, event_ts in zip(
+                    pdf["doc_id"], pdf["tokens"], pdf["n_tok"],
+                    pdf["source"], pdf["event_ts"]):
+                t = np.asarray(toks, dtype=np.int32)
+                row = features_row(t, cfg)
+                row.update(doc_id=doc_id, tokens=t, n_tok=n_tok,
+                           source=source, event_ts=event_ts)
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return extract
+
+
+def extract_features_df(tokens_df: DataFrame,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """tokens table -> feature-snapshot table (one row per doc_id×event_ts).
+
+    Stage shape: Scan -> [optional cost rebalance] -> MapInPandas. No
+    shuffle unless the caller opted into rebalancing.
+    """
+    cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
+    return tokens_df.select(*cols).mapInPandas(_make_kernel(cfg), FEATURE_SCHEMA)
+
+
+def feature_snapshots(tokens_df: DataFrame, n_snapshots: int = 1,
+                      snapshot_interval_s: int = 3600,
+                      cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Feature table keyed (doc_id, snapshot_ts).
+
+    For the point-in-time layer: each doc gets ``n_snapshots`` rows at
+    event_ts + k*interval (deterministic), features computed on the
+    token prefix visible at that snapshot (last 1/(n-k) truncation would be
+    arbitrary; we use the full sequence for k=last and proportional
+    prefixes before — a monotone 'state as of ts' semantics).
+    """
+    if n_snapshots == 1:
+        return (extract_features_df(tokens_df, cfg)
+                .withColumnRenamed("event_ts", "snapshot_ts"))
+    frames = []
+    for k in range(1, n_snapshots + 1):
+        frac = k / n_snapshots
+        prefix = tokens_df.withColumn(
+            "tokens",
+            F.slice("tokens", 1, F.greatest(
+                F.lit(1), F.ceil(F.col("n_tok") * frac).cast("int"))),
+        ).withColumn("n_tok", F.size("tokens").cast("int")).withColumn(
+            "event_ts",
+            F.col("event_ts") + F.make_interval(secs=F.lit((k - 1) * snapshot_interval_s)),
+        )
+        frames.append(extract_features_df(prefix, cfg))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumnRenamed("event_ts", "snapshot_ts")

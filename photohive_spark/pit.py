@@ -1,0 +1,190 @@
+"""Point-in-time relational layer: as-of join, backfill, lag/lead,
+gap-based sessionization.
+
+These are the operators the reference lacks entirely (it is a single-image
+batch library — SURVEY §2.6); they are what makes the engine a
+*point-in-time feature store* over the snapshot table. All four are pure
+Catalyst window/join plans — no Python in the hot path — plus an
+``applyInPandas``/``merge_asof`` variant of the as-of join used to
+cross-check semantics and to handle per-group logic Catalyst can't express.
+
+Zero-temporal-leakage contract: a probe at time t only ever sees the
+snapshot with the greatest snapshot_ts <= t (strictly < t with
+``strict=True``). Property-tested in tests/test_pit.py.
+
+Scale notes:
+- union+window as-of costs ONE shuffle of (probes ∪ snapshots) on the key —
+  optimal when both sides are large (the 100 TB case). The sort within
+  partitions is (ts, is_probe), so ties resolve snapshot-first =>
+  inclusive semantics without a self-join.
+- when the snapshot side is small (dimension-like), ``asof_join_broadcast``
+  avoids the shuffle entirely: broadcast + max_by aggregation.
+- skew: hot keys are handled by AQE skew-join plus the explicit salting in
+  skew.py (applied by callers before the window when one key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(probes: DataFrame, snapshots: DataFrame, key: str,
+              probe_ts: str, snapshot_ts: str,
+              value_cols: list[str], strict: bool = False) -> DataFrame:
+    """Union + last-ignorenulls window as-of join.
+
+    For every probe row, attach ``value_cols`` (and matched snapshot ts)
+    from the latest snapshot with snapshot_ts <= probe_ts (or < with
+    strict). Probes with no prior snapshot get nulls.
+
+    Plan: Union -> Exchange(hash key) -> Sort(ts, side) -> Window(last
+    ignorenulls, unbounded preceding) -> Filter(is_probe). One shuffle.
+    """
+    payload = F.struct(F.col(snapshot_ts).alias("matched_ts"),
+                       *[F.col(c) for c in value_cols])
+    snaps = snapshots.select(
+        F.col(key).alias("_k"),
+        F.col(snapshot_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}")
+          for t in probes.schema.fields],
+    )
+    probe_cols = [f.name for f in probes.schema.fields]
+    prb = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        # snapshot sorts before probe at equal ts => inclusive <=;
+        # strict: probe sorts first => snapshot at equal ts NOT visible
+        F.lit(-1 if strict else 1).alias("_side"),
+        F.lit(None).cast(snaps.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+    unioned = snaps.unionByName(prb)
+    w = (Window.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.withColumn("_fill", F.last("_payload", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") != 0).select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+        F.col("_fill.matched_ts").alias("matched_ts"),
+        *[F.col(f"_fill.{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def asof_join_broadcast(probes: DataFrame, snapshots: DataFrame, key: str,
+                        probe_ts: str, snapshot_ts: str,
+                        value_cols: list[str], strict: bool = False) -> DataFrame:
+    """Broadcast variant for small snapshot sides (dimension-like).
+
+    BroadcastHashJoin on key with the temporal predicate, then
+    max_by(payload, snapshot_ts) per probe row — no shuffle of the probe
+    side at all (aggregation keys on the probe's unique id are co-located
+    by AQE / partial agg).
+    """
+    cmp = (F.col(f"s.{snapshot_ts}") < F.col(f"p.{probe_ts}")) if strict else \
+          (F.col(f"s.{snapshot_ts}") <= F.col(f"p.{probe_ts}"))
+    probe_cols = [f.name for f in probes.schema.fields]
+    pid = F.struct(*[F.col(f"p.{c}") for c in probe_cols]).alias("_probe")
+    payload = F.struct(F.col(f"s.{snapshot_ts}").alias("matched_ts"),
+                       *[F.col(f"s.{c}") for c in value_cols])
+    joined = (probes.alias("p")
+              .join(F.broadcast(snapshots.alias("s")),
+                    on=[F.col(f"p.{key}") == F.col(f"s.{key}"), cmp],
+                    how="left")
+              .select(pid, payload.alias("_payload"),
+                      F.col(f"s.{snapshot_ts}").alias("_sts")))
+    agg = (joined.groupBy("_probe")
+           .agg(F.max_by("_payload", "_sts").alias("_best")))
+    return agg.select(
+        *[F.col(f"_probe.{c}").alias(c) for c in probe_cols],
+        F.col("_best.matched_ts").alias("matched_ts"),
+        *[F.col(f"_best.{c}").alias(c) for c in value_cols],
+    )
+
+
+def asof_join_pandas(probes: DataFrame, snapshots: DataFrame, key: str,
+                     probe_ts: str, snapshot_ts: str,
+                     value_cols: list[str], strict: bool = False) -> DataFrame:
+    """Cogrouped ``applyInPandas`` + ``pd.merge_asof`` variant.
+
+    Same semantics as :func:`asof_join`; used as a cross-check and as the
+    extension point for per-group logic (e.g. interpolation) that the
+    window form can't express. Cost: one shuffle per side (cogroup).
+    """
+    import pandas as pd  # local import: only reaches Python workers
+
+    probe_fields = probes.schema.fields
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in probe_fields)
+        + f", matched_ts timestamp, "
+        + ", ".join(f"{c} {snapshots.schema[c].dataType.simpleString()}"
+                    for c in value_cols)
+    )
+    snap_sel = snapshots.select(key, snapshot_ts, *value_cols)
+
+    def merge(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(probe_ts, kind="mergesort")
+        s = (s.sort_values(snapshot_ts, kind="mergesort")
+             .rename(columns={snapshot_ts: "matched_ts"}))
+        if s.empty:
+            m = p.copy()
+            m["matched_ts"] = pd.NaT
+            for c in value_cols:
+                m[c] = None
+            return m
+        m = pd.merge_asof(
+            p, s.drop(columns=[key]),
+            left_on=probe_ts, right_on="matched_ts",
+            allow_exact_matches=not strict, direction="backward")
+        return m
+
+    return (probes.groupBy(key).cogroup(snap_sel.groupBy(key))
+            .applyInPandas(merge, out_schema))
+
+
+def backfill(df: DataFrame, key: str, ts: str, cols: list[str]) -> DataFrame:
+    """Forward-fill nulls with the latest prior non-null value per key —
+    the ``last(ignorenulls) OVER (... ROWS UNBOUNDED PRECEDING)`` plan.
+    """
+    w = (Window.partitionBy(key).orderBy(F.col(ts).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}_filled", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def lag_lead(df: DataFrame, key: str, ts: str, col: str, n: int = 1) -> DataFrame:
+    """Previous/next value per key ordered by ts."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    return (df
+            .withColumn(f"{col}_lag{n}", F.lag(col, n).over(w))
+            .withColumn(f"{col}_lead{n}", F.lead(col, n).over(w)))
+
+
+def sessionize(df: DataFrame, key: str, ts: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based session ids: a new session starts when the time since the
+    previous event for the key exceeds ``gap_seconds``. session_id is
+    0-based per key (cumulative sum of boundary flags).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+
+
+def session_stats(df: DataFrame, key: str, ts: str,
+                  gap_seconds: int = 1800) -> DataFrame:
+    """Per-session aggregates over sessionized events."""
+    s = sessionize(df, key, ts, gap_seconds)
+    return (s.groupBy(key, "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts).alias("session_start"),
+                 F.max(ts).alias("session_end"),
+                 (F.max(F.col(ts).cast("double"))
+                  - F.min(F.col(ts).cast("double"))).alias("duration_s")))

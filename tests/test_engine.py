@@ -1,0 +1,60 @@
+"""Spark feature extraction == local numpy kernels, token equality in=out,
+and no row-at-a-time Python in any plan."""
+
+import numpy as np
+import pytest
+
+from photohive_spark import kernels as K
+from photohive_spark.config import DEFAULT_CONFIG as CFG
+from photohive_spark.engine import extract_features_df, features_row
+from photohive_spark.tokenize import tokens_table
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    toks = tokens_table(spark, sf_dir)
+    out = extract_features_df(toks, CFG)
+    sample = out.orderBy("doc_id").limit(25).collect()
+    inputs = {r.doc_id: r.tokens for r in toks.orderBy("doc_id").limit(25).collect()}
+    return sample, inputs
+
+
+def test_token_equality_invariant(feats):
+    sample, inputs = feats
+    for r in sample:
+        assert list(r.tokens) == list(inputs[r.doc_id]), r.doc_id
+
+
+def test_features_match_local_kernels(feats):
+    sample, inputs = feats
+    for r in sample:
+        t = np.asarray(inputs[r.doc_id], dtype=np.int32)
+        want = features_row(t, CFG)
+        assert np.isclose(r.rms_mean, want["rms_mean"], rtol=1e-12)
+        assert np.isclose(r.rms_std, want["rms_std"], rtol=1e-12)
+        assert np.isclose(r.mean_norm_value, want["mean_norm_value"], rtol=1e-12)
+        assert list(r.hist_counts) == want["hist_counts"]
+        assert np.isclose(r.hist_entropy, want["hist_entropy"], rtol=1e-12)
+        assert np.allclose(r.spectrum_bands, want["spectrum_bands"], rtol=1e-9)
+        assert np.allclose(r.autocorr, want["autocorr"], rtol=1e-9)
+        assert np.allclose(r.bandpass_energy, want["bandpass_energy"], rtol=1e-9)
+        assert np.isclose(r.sharpness_avg, want["sharpness_avg"], rtol=1e-9)
+        got_pal = [(p.h, p.s, p.v, p.pct) for p in r.palette]
+        want_pal = [(p["h"], p["s"], p["v"], p["pct"]) for p in want["palette"]]
+        assert np.allclose(got_pal, want_pal, rtol=1e-9)
+        got_peaks = [(p.angle, p.magnitude) for p in r.spectral_peaks]
+        want_peaks = [(p["angle"], p["magnitude"]) for p in want["spectral_peaks"]]
+        assert got_peaks == pytest.approx(want_peaks)
+
+
+def test_row_counts_preserved(spark, sf_dir):
+    toks = tokens_table(spark, sf_dir)
+    assert extract_features_df(toks, CFG).count() == toks.count()
+
+
+def test_no_row_python_in_plan(spark, sf_dir):
+    """SURVEY §7: everything Arrow-vectorized — BatchEvalPython forbidden."""
+    plan = (extract_features_df(tokens_table(spark, sf_dir), CFG)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
