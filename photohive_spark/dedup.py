@@ -1,0 +1,214 @@
+"""Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All implementations are pure DataFrame plans (JVM-side built-ins only — no
+Python UDFs anywhere in this module), so Catalyst handles partial
+aggregation, AQE handles skewed shingles, and every groupBy is a single
+shuffle. Hash functions are the engine's poly-hash (tokenize.word_token
+semantics) so the DuckDB oracle can reproduce every number exactly.
+
+Scale notes (100 TB):
+- exact dedup: md5 digest groupBy — one shuffle on the digest (uniform by
+  construction, no skew);
+- MinHash: signatures via P min() aggregates over exploded shingles (ONE
+  shuffle, map-side partial min), LSH banding via explode(bands) + self-join
+  on band key — candidate generation never compares all pairs;
+- stop-word-like hot shingles would skew the shingle explode; mitigated by
+  distinct-per-doc before the join and AQE skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from .config import VOCAB_SIZE
+from .tokenize import TOKEN_MULT, TOKEN_SEED
+
+# MinHash universal-hash constants: h_j(x) = (A[j]*x + B[j]) mod MERSENNE,
+# deterministic (seeded) so Spark, DuckDB oracle, and tests agree.
+MERSENNE = (1 << 31) - 1
+NUM_PERM = 16
+LSH_BANDS = 4          # 4 bands x 4 rows
+_A = [(37 * (j + 1) ** 2 + 11) % MERSENNE for j in range(NUM_PERM)]
+_B = [(101 * (j + 1) + 7919 * j * j) % MERSENNE for j in range(NUM_PERM)]
+
+SIMHASH_BITS = 32
+
+
+def poly_hash_expr(col_sql: str, mod: int = MERSENNE) -> str:
+    """Spark SQL snippet hashing a string column with the engine poly hash
+    (same recurrence as tokenize.word_token, wider modulus)."""
+    return (f"aggregate(transform(sequence(1, length({col_sql})), "
+            f"i -> ascii(substr({col_sql}, i, 1))), "
+            f"cast({TOKEN_SEED} as bigint), (a, b) -> (a * {TOKEN_MULT} + b) % {mod})")
+
+
+def duckdb_poly_hash(col_sql: str, mod: int = MERSENNE) -> str:
+    """DuckDB equivalent of poly_hash_expr."""
+    return (f"list_reduce(list_prepend(cast({TOKEN_SEED} as bigint), "
+            f"list_transform(range(1, len({col_sql})+1), "
+            f"i -> cast(ascii(substr({col_sql}, i, 1)) as bigint))), "
+            f"(a, b) -> (a * {TOKEN_MULT} + b) % {mod})")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: keep the min id per md5(text).
+    Returns (doc_id, digest, dup_count)."""
+    return (docs
+            .select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+            .groupBy("digest")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("dup_count")))
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle string).
+
+    Built entirely from higher-order functions: split -> sliding window via
+    transform(sequence) -> array_join -> array_distinct -> explode.
+    """
+    words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+    sling = (f"array_distinct(transform(sequence(1, greatest(1, size({words}) - {k - 1})), "
+             f"i -> array_join(slice({words}, i, {k}), ' ')))")
+    return (docs.select(F.col(id_col), F.explode(F.expr(sling)).alias("shingle")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig array<bigint>[num_perm]) MinHash signatures.
+
+    One shuffle: explode shingles -> groupBy(doc) with num_perm min()
+    aggregates (map-side partial min makes this cheap)."""
+    sh = word_shingles(docs, text_col, id_col, k)
+    hashed = sh.withColumn("h", F.expr(poly_hash_expr("shingle")))
+    mins = [F.min((F.lit(_A[j]) * F.col("h") + F.lit(_B[j])) % F.lit(MERSENNE))
+            .alias(f"m{j}") for j in range(num_perm)]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col),
+                      F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    jaccard >= threshold.
+
+    Shape: sig -> explode bands -> self-join on (band_idx, band_sig) ->
+    distinct pairs -> exact-verify join against shingle sets. The exact
+    verify is itself a shuffle-on-shingle join, but only over candidate
+    docs (semi-join pushdown), so at scale the full corpus never self-joins.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_perm)
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)]).alias("bsig"))
+        for b in range(bands)])
+    banded = sig.select(F.col(id_col), F.explode(band_arr).alias("bk")) \
+                .select(id_col, "bk.band", "bk.bsig")
+    cand = (banded.alias("x").join(banded.alias("y"),
+                                   on=["band", "bsig"], how="inner")
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"))
+            .distinct())
+    return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
+                   id_col: str, k: int, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs."""
+    sh = word_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (pairs
+             .join(sha, on="id_a")
+             .join(shb, on=["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("n_sh", "n_a"), on="id_a")
+           .join(sizes.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("n_sh", "n_b"), on="id_b")
+           .withColumn("jaccard",
+                       F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via shingle-inverted-index
+    self-join (no LSH; exact). Quadratic in docs sharing a shingle — use
+    minhash_lsh_pairs at scale; this is the exactness baseline/oracle."""
+    sh = word_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a").join(sh.alias("b"), on="shingle")
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("n_sh").alias("n_a")), on="id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("n_sh").alias("n_b")), on="id_b")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over word hashes: bit b set iff the majority of
+    words have bit b set ( sum(±1) > 0 ). Returns (doc_id, simhash bigint).
+
+    Single shuffle: explode words -> groupBy(doc) with `bits` sum()
+    aggregates -> bit-assemble projection.
+    """
+    words = (docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
+         .alias("w"))
+        .withColumn("h", F.expr(poly_hash_expr("w"))))
+    sums = words.groupBy(id_col).agg(*[
+        F.sum(((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) * 2 - 1))
+        .alias(f"s{b}") for b in range(bits)])
+    sim = sums.select(
+        F.col(id_col),
+        sum((F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+             .cast("bigint") * F.lit(1 << b)) for b in range(bits))
+        .alias("simhash"))
+    return sim
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Exact all-pairs via self-join — the correctness baseline. At scale use
+    similarity.lsh_buckets to restrict the join to bucket-mates.
+    """
+    from .similarity import cosine_expr
+    n = (emb.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("v")))
+    pairs = (n.alias("a").join(n.alias("b"),
+                               F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     cosine_expr("a.v", "b.v").alias("cos")))
+    return (pairs.where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))

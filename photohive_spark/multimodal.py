@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The decode step is STUBBED (no codec libraries in this container): the
+real path raises NotImplementedError behind ``decode=\"real\"``, and the
+default deterministic fake derives a pseudo sample plane from the bytes
+(seeded by a rolling hash of the payload) so the Spark-side plumbing —
+schema, batch shape, partitioning, downstream DSP kernels — is fully real
+and tested. Swap ``_fake_decode`` for PIL/libav and nothing else changes.
+
+Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
+(``utils.py:30-46``) — bytes -> normalized float plane -> feature kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.types as T
+
+from . import kernels as K
+from .config import DEFAULT_CONFIG, EngineConfig
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),     # opaque encoded bytes
+    T.StructField("meta_width", T.IntegerType()),
+    T.StructField("meta_height", T.IntegerType()),
+    T.StructField("meta_sample_rate", T.IntegerType()),
+    T.StructField("meta_n_frames", T.IntegerType()),
+])
+
+MEDIA_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms_mean", T.DoubleType()),
+    T.StructField("rms_std", T.DoubleType()),
+    T.StructField("spectrum_bands", T.ArrayType(T.DoubleType())),
+    T.StructField("sharpness_avg", T.DoubleType()),
+])
+
+
+def _fake_decode(payload: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic pseudo-decode: bytes -> float64 samples in [0,1].
+
+    sha256-seeded xorshift stream — stable across runs/machines, so golden
+    tests of the plumbing are exact."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.random(n_samples)
+
+
+def decode_stub(payload: bytes, kind: str, meta: dict, mode: str = "fake"
+                ) -> np.ndarray:
+    if mode == "real":
+        raise NotImplementedError(
+            "real decode requires PIL/libsndfile/libav — not in this "
+            "container; the deterministic fake exercises the full Spark path")
+    if kind == "image":
+        n = int(meta.get("meta_width") or 64) * int(meta.get("meta_height") or 64)
+    elif kind == "audio":
+        n = int(meta.get("meta_sample_rate") or 8000)
+    else:  # video: frame-sampled
+        n = 256 * int(meta.get("meta_n_frames") or 4)
+    return _fake_decode(payload, max(4, n))
+
+
+def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                   mode: str = "fake") -> DataFrame:
+    """binary payload -> DSP features, Arrow-batched. Same no-shuffle map
+    shape as engine.extract_features_df."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                meta = {k: r[k] for k in
+                        ("meta_width", "meta_height",
+                         "meta_sample_rate", "meta_n_frames")}
+                x = decode_stub(bytes(r["payload"]), r["kind"], meta, mode)
+                mean, std = K.rms_stats(x)
+                out.append({
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "n_samples": len(x),
+                    "rms_mean": mean,
+                    "rms_std": std,
+                    "spectrum_bands": K.spectrum_bands(
+                        x, cfg.radius_parts, cfg).tolist(),
+                    "sharpness_avg": K.sharpness_avg(x, cfg),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    return media.select(*cols).mapInPandas(run, MEDIA_FEATURE_SCHEMA)

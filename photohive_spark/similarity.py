@@ -1,0 +1,83 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline, all JVM-side
+  (``F.aggregate``/``F.zip_with`` dot products inside whole-stage codegen);
+- LSH-bucketed ANN: deterministic random-hyperplane signatures restrict
+  the search to bucket-mates — the scale path (each query probes one
+  bucket per table, so a 10^12-row corpus is never fully scanned).
+
+No Python UDFs; the hyperplanes are a broadcast literal array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity between two array<double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs a literal query vector.
+
+    Plan: scan -> project(cosine) -> TakeOrderedAndProject (Spark's
+    distributed top-k: per-partition heap then driver merge — no full sort,
+    no shuffle of the corpus)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6)
+         .alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Bucket id = sign bits of <v, p_j> packed into a bigint (JVM-side:
+    one zip_with dot product per plane over a literal plane array)."""
+    bits = []
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec_col, lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket.
+
+    At scale the table is written bucketed/partitioned by the LSH bucket id
+    so this is a single-partition scan (partition pruning); here the filter
+    still prunes the scored set to ~corpus/2^n_planes rows.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = int(sum((1 << j) for j, p in enumerate(planes)
+                   if float(np.dot(p, np.asarray(query_vec))) > 0))
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.select(F.col(id_col), v.alias("v"),
+                          lsh_bucket_expr(v, planes).alias("bucket"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (bucketed.where(F.col("bucket") == qsig)
+            .select(id_col, F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))

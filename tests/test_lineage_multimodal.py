@@ -1,0 +1,71 @@
+"""Checkpoint/resume semantics (kill mid-backfill, resume, identical final
+table) and the multimodal binary-column plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from photohive_spark import lineage, multimodal
+from photohive_spark.tokenize import tokens_table
+from photohive_spark.engine import extract_features_df
+
+
+def test_resume_after_crash(spark, sf_dir, tmp_path):
+    toks = tokens_table(spark, sf_dir).limit(120).cache()
+    feats = extract_features_df(toks).drop("palette", "spectral_peaks")
+
+    # single-shot run = ground truth
+    full_dir = str(tmp_path / "full")
+    lineage.run_resumable(spark, feats, full_dir, n_buckets=4)
+    want = {r.doc_id: r for r in lineage.read_result(spark, full_dir).collect()}
+
+    # crash after 2 buckets, then resume
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_resumable(spark, feats, crash_dir, n_buckets=4, fail_after=2)
+    assert len(lineage.completed_buckets(crash_dir)) == 2
+    resumed = lineage.run_resumable(spark, feats, crash_dir, n_buckets=4)
+    assert len(resumed) == 2                      # only remaining buckets ran
+    assert lineage.completed_buckets(crash_dir) == {0, 1, 2, 3}
+
+    got = {r.doc_id: r for r in lineage.read_result(spark, crash_dir).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k].rms_mean == want[k].rms_mean
+        assert list(got[k].tokens) == list(want[k].tokens)
+
+    lt = lineage.lineage_table(spark, crash_dir).collect()
+    assert sorted(r.bucket for r in lt) == [0, 1, 2, 3]
+    assert sum(r.rows for r in lt) == 120
+    assert all(r.wall_s > 0 for r in lt)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m0", "image", bytes(b"\x89PNGfake0"), 16, 16, None, None),
+        ("m1", "image", bytes(b"\x89PNGfake1"), 8, 8, None, None),
+        ("m2", "audio", bytes(b"RIFFfake"), None, None, 800, None),
+        ("m3", "video", bytes(b"\x00\x00ftypfake"), None, None, None, 3),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_media_features_plumbing(media):
+    got = {r.media_id: r for r in multimodal.media_features(media).collect()}
+    assert got["m0"].n_samples == 256
+    assert got["m1"].n_samples == 64
+    assert got["m2"].n_samples == 800
+    assert got["m3"].n_samples == 768
+    assert len(got["m0"].spectrum_bands) == 40
+    # deterministic fake: same payload -> same features, different -> different
+    assert got["m0"].rms_mean != got["m1"].rms_mean
+    x = multimodal.decode_stub(b"\x89PNGfake0", "image",
+                               {"meta_width": 16, "meta_height": 16})
+    assert got["m0"].rms_mean == pytest.approx(float(x.mean()), rel=1e-12)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "image", {}, mode="real")

@@ -1,0 +1,187 @@
+"""Dedup / similarity / text / multimodal / lineage operators — oracle
+checks against local numpy/pandas and structural invariants."""
+
+import itertools
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from photohive_spark import dedup, similarity, text
+from photohive_spark.tokenize import word_token
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        ("d0", "the cat sat on the mat and looked at the dog"),
+        ("d1", "the cat sat on the mat and looked at the dog"),       # exact dup of d0
+        ("d2", "the cat sat on the mat and stared at the dog"),       # near dup
+        ("d3", "completely different text about spark query engines"),
+        ("d4", "der hund ist ein tier und das ist gut"),
+        ("d5", "le chat est dans la maison et il dort"),
+        ("d6", "numbers 123 and symbols !!! ??? ,,,"),
+    ]
+    return spark.createDataFrame(base, "doc_id string, text string")
+
+
+def test_exact_dedup(docs):
+    got = dedup.exact_dedup(docs).collect()
+    by_id = {r.doc_id: r.dup_count for r in got}
+    assert by_id["d0"] == 2          # d0+d1 collapse, min id kept
+    assert "d1" not in by_id
+    assert sum(by_id.values()) == 7
+
+
+def _local_shingles(txt, k=3):
+    ws = [w for w in txt.split(" ") if w]
+    if len(ws) <= k - 1:
+        return {" ".join(ws[i:i + k]) for i in range(1)}
+    return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+
+def test_word_shingles_match_local(docs):
+    got = dedup.word_shingles(docs).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    for doc_id, txt in [(r.doc_id, r.text) for r in docs.collect()]:
+        assert by_doc[doc_id] == _local_shingles(txt), doc_id
+
+
+def _local_jaccard(a, b, k=3):
+    sa, sb = _local_shingles(a, k), _local_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(docs):
+    rows = docs.collect()
+    texts = {r.doc_id: r.text for r in rows}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _local_jaccard(texts[a], texts[b])
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+
+
+def test_minhash_signature_matches_local(docs):
+    sig = {r.doc_id: list(r.sig)
+           for r in dedup.minhash_signatures(docs).collect()}
+    for doc_id, txt in [(r.doc_id, r.text) for r in docs.collect()]:
+        hs = [dedup.TOKEN_SEED for _ in range(0)]  # noqa: F841 (clarity)
+        shingle_hashes = []
+        for s in _local_shingles(txt):
+            acc = 7
+            for ch in s:
+                acc = (acc * 31 + ord(ch)) % dedup.MERSENNE
+            shingle_hashes.append(acc)
+        want = [min((dedup._A[j] * h + dedup._B[j]) % dedup.MERSENNE
+                    for h in shingle_hashes)
+                for j in range(dedup.NUM_PERM)]
+        assert sig[doc_id] == want, doc_id
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    # 8 bands x 2 rows: catch probability at jaccard 0.5 is 1-(1-0.25)^8≈0.90;
+    # with our fixed hash constants the d0/d2 collision (band 7) is deterministic
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                            bands=8).collect()}
+    assert ("d0", "d1") in got and got[("d0", "d1")] == 1.0
+    assert ("d0", "d2") in got and ("d1", "d2") in got
+    # all emitted pairs verified >= threshold
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_simhash_properties(docs):
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got["d0"] == got["d1"]            # identical text -> identical hash
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    near = ham(got["d0"], got["d2"])
+    far = ham(got["d0"], got["d3"])
+    assert near < far                         # near-dup closer than unrelated
+    # local oracle for one doc
+    txt = "the cat sat on the mat and looked at the dog"
+    sums = [0] * dedup.SIMHASH_BITS
+    for w in txt.split():
+        acc = 7
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % dedup.MERSENNE
+        for b in range(dedup.SIMHASH_BITS):
+            sums[b] += 1 if (acc >> b) & 1 else -1
+    want = sum(1 << b for b in range(dedup.SIMHASH_BITS) if sums[b] > 0)
+    assert got["d0"] == want
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    got = similarity.brute_force_topk(emb, q.tolist(), k=10).collect()
+    sims = {vid: float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()}
+    want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (vid, pytest.approx(round(s, 6), abs=2e-6)) for vid, s in want]
+    assert got[0].vec_id == 0 and got[0].cosine == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(spark, emb):
+    rows = emb.orderBy("vec_id").limit(1).collect()
+    q = list(rows[0].embedding)
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in similarity.lsh_topk(emb, q, k=10, n_planes=4).collect()]
+    # the query vector itself must always be found (same bucket by definition)
+    assert exact[0] in approx
+    # recall sanity: bucketed search returns some of the true top-10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_embedding_neardup_self(spark, emb):
+    small = emb.where(F.col("vec_id") < 40)
+    dup = small.union(small.withColumn("vec_id", F.col("vec_id") + 10000))
+    got = dedup.embedding_neardup_pairs(dup, threshold=0.999999).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    for i in range(40):
+        assert (i, i + 10000) in pairs
+
+
+def test_lang_id_and_quality(docs):
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    assert got["d0"] == "en"
+    assert got["d4"] == "de"
+    assert got["d5"] == "fr"
+    q = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert q["d0"].n_words == 11
+    assert q["d0"].stopword_ratio > q["d3"].stopword_ratio
+    assert q["d6"].punct_ratio > q["d0"].punct_ratio
+    tc = {r.doc_id: r for r in text.token_counts(docs).collect()}
+    assert tc["d0"].ws_tokens == 11
+
+
+def test_token_counts_oracle(docs):
+    import re
+    rows = docs.collect()
+    got = {r.doc_id: (r.ws_tokens, r.bpe_tokens)
+           for r in text.token_counts(docs).collect()}
+    for r in rows:
+        ws = len([w for w in r.text.split(" ") if w])
+        bpe = len(re.findall(text.BPE_PATTERN, r.text))
+        assert got[r.doc_id] == (ws, bpe), r.doc_id
+
+
+def test_fingerprint(docs):
+    import hashlib
+    got = {r.doc_id: r.fp for r in text.fingerprint(docs).collect()}
+    for r in docs.collect():
+        norm = " ".join(r.text.lower().strip().split())
+        assert got[r.doc_id] == hashlib.md5(norm.encode()).hexdigest()
