@@ -171,7 +171,10 @@ def sessionize(df: DataFrame, key: str, ts: str,
     0-based per key (cumulative sum of boundary flags).
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
-    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    # cast via timestamp_ltz: TIMESTAMP_NTZ (parquet default) has no direct
+    # double cast in Spark 4; the tz shift cancels in the gap difference
+    sec = F.col(ts).cast("timestamp_ltz").cast("double")
+    gap = sec - F.lag(sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",
@@ -182,9 +185,9 @@ def session_stats(df: DataFrame, key: str, ts: str,
                   gap_seconds: int = 1800) -> DataFrame:
     """Per-session aggregates over sessionized events."""
     s = sessionize(df, key, ts, gap_seconds)
+    sec = F.col(ts).cast("timestamp_ltz").cast("double")
     return (s.groupBy(key, "session_id")
             .agg(F.count("*").alias("n_events"),
                  F.min(ts).alias("session_start"),
                  F.max(ts).alias("session_end"),
-                 (F.max(F.col(ts).cast("double"))
-                  - F.min(F.col(ts).cast("double"))).alias("duration_s")))
+                 (F.max(sec) - F.min(sec)).alias("duration_s")))
