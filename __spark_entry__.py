@@ -337,6 +337,13 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=10, n_planes=4)
 
 
+def q_flatten_features(spark, sf_dir):
+    """Fixed-width padded feature vector (reference to_json analog)."""
+    from photohive_spark.engine import flatten_features
+    return flatten_features(
+        extract_features_df(tokens_table(spark, sf_dir).limit(100), CFG))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: docs' text bytes as opaque payloads."""
     from photohive_spark import multimodal
@@ -386,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
+        "flatten_features": q_flatten_features,
     }
 
 

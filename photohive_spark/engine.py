@@ -94,18 +94,24 @@ def _make_kernel(cfg: EngineConfig):
     over the whole token array — the reference's 'whole-plane vectorized'
     style (SURVEY §1.2); there is no Spark-level per-row Python."""
 
+    feature_names = [f.name for f in FEATURE_FIELDS]
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, toks, n_tok, source, event_ts in zip(
-                    pdf["doc_id"], pdf["tokens"], pdf["n_tok"],
-                    pdf["source"], pdf["event_ts"]):
-                t = np.asarray(toks, dtype=np.int32)
-                row = features_row(t, cfg)
-                row.update(doc_id=doc_id, tokens=t, n_tok=n_tok,
-                           source=source, event_ts=event_ts)
-                out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            cols: dict[str, list] = {n: [] for n in feature_names}
+            for toks in pdf["tokens"]:
+                row = features_row(np.asarray(toks, dtype=np.int32), cfg)
+                for n in feature_names:
+                    cols[n].append(row[n])
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "tokens": pdf["tokens"].to_numpy(),
+                "n_tok": pdf["n_tok"].to_numpy(),
+                "source": pdf["source"].to_numpy(),
+                "event_ts": pdf["event_ts"].to_numpy(),
+                **cols,
+            })
+            yield out
 
     return extract
 
@@ -119,6 +125,37 @@ def extract_features_df(tokens_df: DataFrame,
     """
     cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
     return tokens_df.select(*cols).mapInPandas(_make_kernel(cfg), FEATURE_SCHEMA)
+
+
+def flatten_features(features: DataFrame, n_palette: int = 100,
+                     n_peaks: int = 10) -> DataFrame:
+    """Fixed-width padded flat feature vector — the ``to_json`` export
+    analog (reference ``core.py:388-436``: exactly 100 color entries, 10
+    blur vectors, zero-padded). Emits one array<double> column ``fvec``
+    plus the keys, so downstream ML ingest gets a stable dense layout.
+    Pure Catalyst: concat of zero-padded slices, no Python."""
+    def pad(col: str, n: int, width: int = 1) -> F.Column:
+        zeros = F.array_repeat(F.lit(0.0), n * width)
+        flat = F.col(col).cast("array<double>") if width == 1 else \
+            F.flatten(F.transform(
+                col, lambda st: F.array(*[st[f].cast("double")
+                                          for f in _STRUCT_FIELDS[col]])))
+        return F.slice(F.concat(flat, zeros), 1, n * width)
+
+    _STRUCT_FIELDS = {"palette": ["h", "s", "v", "pct"],
+                      "spectral_peaks": ["angle", "magnitude"]}
+    fvec = F.concat(
+        F.array(F.col("rms_mean"), F.col("rms_std"), F.col("mean_norm_value"),
+                F.col("hist_entropy"), F.col("sharpness_avg")),
+        F.col("spectrum_bands").cast("array<double>"),
+        F.col("autocorr").cast("array<double>"),
+        F.col("bandpass_energy").cast("array<double>"),
+        F.col("hist_counts").cast("array<double>"),
+        pad("palette", n_palette, 4),
+        pad("spectral_peaks", n_peaks, 2),
+    )
+    return features.select("doc_id", "event_ts", "n_tok", "source",
+                           fvec.alias("fvec"))
 
 
 def feature_snapshots(tokens_df: DataFrame, n_snapshots: int = 1,

@@ -105,6 +105,72 @@ def filter_same_zeropad(x: np.ndarray, kern: np.ndarray) -> np.ndarray:
     return out
 
 
+MAX_SATURATION = 0.999999  # src/image_processing.c:8
+MAX_VALUE = 0.999999       # src/image_processing.c:9
+
+
+def rgb2hsv(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Per-sample RGB->HSV channel map — ``rgb2hsv``
+    (``src/image_processing.c:372-417``): textbook max/min/delta conversion,
+    hue wrapped to [0,360), S and V clamped to 0.999999 via MAX_SATURATION /
+    MAX_VALUE (``src/image_processing.c:408-414``). Inputs in [0,1].
+    Used by the multimodal image path; vectorized over whole planes."""
+    r = np.asarray(r, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    delta = mx - mn
+    h = np.zeros_like(r)
+    nz = delta > 0
+    r_is = nz & (mx == r)
+    g_is = nz & (mx == g) & ~r_is
+    b_is = nz & (mx == b) & ~r_is & ~g_is
+    with np.errstate(invalid="ignore", divide="ignore"):
+        h[r_is] = 60.0 * np.mod((g[r_is] - b[r_is]) / delta[r_is], 6.0)
+        h[g_is] = 60.0 * ((b[g_is] - r[g_is]) / delta[g_is] + 2.0)
+        h[b_is] = 60.0 * ((r[b_is] - g[b_is]) / delta[b_is] + 4.0)
+    h = np.mod(h, 360.0)
+    s = np.zeros_like(r)
+    pos = mx > 0
+    s[pos] = delta[pos] / mx[pos]
+    s = np.minimum(s, MAX_SATURATION)
+    v = np.minimum(mx, MAX_VALUE)
+    return h, s, v
+
+
+def hsv2rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray):
+    """Inverse map (chroma/x/m formulation) — ``hsv2rgb``
+    (``src/image_processing.c:423-468``)."""
+    h = np.asarray(h, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    c = v * s
+    hp = np.mod(h, 360.0) / 60.0
+    x = c * (1.0 - np.abs(np.mod(hp, 2.0) - 1.0))
+    m = v - c
+    sector = np.clip(hp.astype(np.int64), 0, 5)
+    z = np.zeros_like(c)
+    r = np.choose(sector, [c, x, z, z, x, c])
+    g = np.choose(sector, [x, c, c, x, z, z])
+    b = np.choose(sector, [z, z, x, c, c, x])
+    return r + m, g + m, b + m
+
+
+def rgb2pgm(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """BT.601 luma projection — ``rgb2pgm``
+    (``src/image_processing.c:505-512``): 0.299r + 0.587g + 0.114b."""
+    return (0.299 * np.asarray(r, dtype=np.float64)
+            + 0.587 * np.asarray(g, dtype=np.float64)
+            + 0.114 * np.asarray(b, dtype=np.float64))
+
+
+def pgm2rgb(p: np.ndarray):
+    """Broadcast 1->3 channels — ``pgm2rgb`` (``src/image_processing.c:515-524``)."""
+    p = np.asarray(p, dtype=np.float64)
+    return p.copy(), p.copy(), p.copy()
+
+
 # ---------------------------------------------------------------------------
 # simple aggregates
 # ---------------------------------------------------------------------------
@@ -403,15 +469,23 @@ def spectrum_bands(x: np.ndarray, n_bands: int | None = None,
     pn = lognorm_power(p)
     nf = p.size
     nb = min(n_bands, nf)
-    bin_size_sq = max(1, (nf * nf) // (nb * nb))
-    idx = np.arange(nf, dtype=np.float64)
-    r_bin = newton_int_sqrt(idx * idx / bin_size_sq)
-    r_bin = np.minimum(r_bin, nb - 1)
+    r_bin = _freq_band_ids(nf, nb)
     sums = np.bincount(r_bin, weights=pn, minlength=nb)
     quant = np.bincount(r_bin, minlength=nb)
     nzmask = quant > 0
     out[:nb][nzmask] = sums[nzmask] / quant[nzmask]
     return out
+
+
+@lru_cache(maxsize=4096)
+def _freq_band_ids(nf: int, nb: int) -> np.ndarray:
+    """Frequency-index -> band-id LUT, cached per spectrum length — the
+    analog of the reference's precomputed polar lookup table shared across
+    equal-size FFTs (``src/blur_profile.c:19-23,427-458``)."""
+    bin_size_sq = max(1, (nf * nf) // (nb * nb))
+    idx = np.arange(nf, dtype=np.float64)
+    r_bin = newton_int_sqrt(idx * idx / bin_size_sq)
+    return np.minimum(r_bin, nb - 1)
 
 
 def blur_profile_2d(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -442,10 +516,22 @@ def blur_profile_2d(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
     p = np.abs(np.fft.rfft2(plane)) ** 2  # (hh, w//2+1) — FFTW r2c layout
     pn = lognorm_power(p)
     fh, fw = pn.shape
+    flat = _polar_bin_ids(fh, fw, na, nr)
+    sums = np.bincount(flat, weights=pn.ravel(), minlength=na * nr)
+    quant = np.bincount(flat, minlength=na * nr)
+    prof = np.zeros(na * nr)
+    nz = quant > 0
+    prof[nz] = sums[nz] / quant[nz]
+    return prof.reshape(na, nr)
 
-    # polar keys, symmetry-folded (src/blur_profile.c:444-456): rows
-    # [0, bound) get -atan2, mirrored rows +atan2; odd middle row ends up
-    # with +atan2 (the reference writes it twice, + last).
+
+@lru_cache(maxsize=1024)
+def _polar_bin_ids(fh: int, fw: int, na: int, nr: int) -> np.ndarray:
+    """Flattened (angle_bin*nr + radius_bin) key per FFT cell, cached per
+    plane shape — the reference's shared Cartesian_To_Polar LUT
+    (``src/blur_profile.c:19-23``). Polar keys are symmetry-folded
+    (``src/blur_profile.c:444-456``): rows [0, bound) get -atan2, mirrored
+    rows +atan2; an odd middle row ends up +atan2 (written twice, + last)."""
     half = fh // 2
     bound = half + 1 if fh % 2 == 1 else half
     phi = np.zeros((fh, fw))
@@ -463,13 +549,7 @@ def blur_profile_2d(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
     phi_bin = np.clip(phi_bin, 0, na - 1)
     r_bin = newton_int_sqrt(r_sq.astype(np.float64) / bin_size_sq)
     r_bin = np.minimum(r_bin, nr - 1)
-    flat = phi_bin.ravel() * nr + r_bin.ravel()
-    sums = np.bincount(flat, weights=pn.ravel(), minlength=na * nr)
-    quant = np.bincount(flat, minlength=na * nr)
-    prof = np.zeros(na * nr)
-    nz = quant > 0
-    prof[nz] = sums[nz] / quant[nz]
-    return prof.reshape(na, nr)
+    return phi_bin.ravel() * nr + r_bin.ravel()
 
 
 def spectral_peaks(profile: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG

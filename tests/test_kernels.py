@@ -268,3 +268,26 @@ def test_assign_parents_matches_scalar_loop():
             if d < bestd:
                 bestd, best = d, int(p)
         assert got[cell] == best, cell
+
+
+def test_rgb_hsv_roundtrip():
+    rng = np.random.default_rng(7)
+    r, g, b = rng.random(500), rng.random(500), rng.random(500)
+    h, s, v = K.rgb2hsv(r, g, b)
+    assert (h >= 0).all() and (h < 360).all()
+    assert (s <= K.MAX_SATURATION).all() and (v <= K.MAX_VALUE).all()
+    r2, g2, b2 = K.hsv2rgb(h, s, v)
+    # roundtrip exact up to the MAX_SATURATION/MAX_VALUE clamps (reference
+    # quirk, src/image_processing.c:8-9): only near-1.0 samples clip
+    keep = (np.maximum(np.maximum(r, g), b) < K.MAX_VALUE)
+    assert np.allclose(r2[keep], r[keep], atol=2e-6)
+    assert np.allclose(g2[keep], g[keep], atol=2e-6)
+    assert np.allclose(b2[keep], b[keep], atol=2e-6)
+
+
+def test_rgb2pgm_luma():
+    r, g, b = np.array([1.0, 0.0]), np.array([0.0, 1.0]), np.array([0.0, 0.0])
+    assert np.allclose(K.rgb2pgm(r, g, b), [0.299, 0.587])
+    p = np.array([0.25, 0.5])
+    rr, gg, bb = K.pgm2rgb(p)
+    assert (rr == p).all() and (gg == p).all() and (bb == p).all()
