@@ -130,6 +130,26 @@ def q_asof_join_strict(spark, sf_dir):
                                    strict=True)
 
 
+def q_asof_join_pandas(spark, sf_dir):
+    """Cogrouped applyInPandas merge_asof variant — same oracle as
+    asof_join, so the two implementations are cross-checked by the gate."""
+    probes, snaps = _probes_snaps(spark, sf_dir)
+    return pit.asof_join_pandas(probes, snaps, "user_id", "probe_ts",
+                                "snapshot_ts", ["purchase_value"])
+
+
+def q_salted_agg(spark, sf_dir):
+    """skew.two_stage_agg correctness: salted partial+final == plain
+    groupBy (additive aggregates commute with salting)."""
+    from photohive_spark.skew import two_stage_agg
+    ev = _read(spark, sf_dir, "events")
+    out = two_stage_agg(
+        ev, "event_type", buckets=8,
+        aggs={"n": (F.count("*"), F.sum),
+              "value_cents": (F.sum(_cents("value")), F.sum)})
+    return out.select("event_type", "n", "value_cents")
+
+
 def q_backfill(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").withColumn(
         "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
@@ -363,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "asof_join": q_asof_join,
         "asof_join_strict": q_asof_join_strict,
+        "asof_join_pandas": q_asof_join_pandas,
+        "salted_agg": q_salted_agg,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
@@ -489,6 +511,13 @@ from probes p asof left join snaps s
 """
     sql["asof_join"] = asof_base.format(op=">=")
     sql["asof_join_strict"] = asof_base.format(op=">")
+    sql["asof_join_pandas"] = asof_base.format(op=">=")
+
+    sql["salted_agg"] = """
+select event_type, count(*) as n,
+       sum(cast(round(value * 100) as bigint)) as value_cents
+from events group by event_type
+"""
 
     sql["backfill"] = """
 select event_id, user_id,

@@ -1,0 +1,135 @@
+"""Structured Streaming layer: streaming feature extraction, watermarked
+windowed aggregates, and stateful gap sessionization.
+
+The reference is strictly batch-one-image (SURVEY §2.7); this module is the
+engine's incremental-ingest path: new token sequences land as files (or a
+Kafka topic in production), features are extracted with the SAME
+Arrow-batched kernels as the batch path (stateless mapInPandas is
+streaming-safe), and late data is bounded by event-time watermarks.
+
+Scale notes: the feature stream is stateless => unbounded parallelism, no
+state store; the windowed aggregate keeps O(windows x sources) state; the
+sessionizer keeps one small state row per active key and emits sessions on
+gap timeout — all standard Structured Streaming state-store behavior,
+checkpointed for exactly-once restart.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .engine import FEATURE_SCHEMA, _make_kernel
+
+TOKENS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("event_ts", T.TimestampType()),
+])
+
+
+def read_tokens_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of input_hint-shaped parquet (the sandbox stand-in
+    for a Kafka/Iceberg CDC source)."""
+    return (spark.readStream.schema(TOKENS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_features(tokens_stream: DataFrame,
+                    cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Stateless streaming feature extraction — identical kernels/schema to
+    the batch path, so batch and stream outputs are row-for-row equal."""
+    cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
+    return tokens_stream.select(*cols).mapInPandas(_make_kernel(cfg),
+                                                   FEATURE_SCHEMA)
+
+
+def windowed_source_stats(tokens_stream: DataFrame,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked event-time windowed aggregate per source: row counts and
+    mean n_tok. Late rows beyond the watermark are dropped (bounded state).
+    """
+    return (tokens_stream
+            .withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", window).alias("w"), "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.avg("n_tok").alias("avg_n_tok"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "source", "n_docs", "avg_n_tok"))
+
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint")
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Stateful gap sessionization via applyInPandasWithState: one state row
+    per active user; a session is emitted when the gap since its last event
+    exceeds ``gap_seconds`` (decided on state timeout after the watermark
+    passes). Same gap rule as the batch pit.sessionize."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start, unit="us"),
+                "session_end": pd.Timestamp(last, unit="us"),
+                "n_events": n}])
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        out = []
+        for t in ts_us:
+            if t - last > gap_us and n > 0:
+                out.append({"user_id": user_id,
+                            "session_start": pd.Timestamp(start, unit="us"),
+                            "session_end": pd.Timestamp(last, unit="us"),
+                            "n_events": n})
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_OUT_SCHEMA,
+                                    SESSION_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drive a stream with availableNow into a memory sink (test harness)."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q

@@ -1,0 +1,59 @@
+"""End-to-end spark-submit --py-files run of the backfill job (the
+north_rule deployment path), including resume-after-partial-run."""
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                                reason="spark-submit not available")
+
+
+def _zip_pkg(tmp_path) -> str:
+    z = str(tmp_path / "photohive_spark.zip")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with zipfile.ZipFile(z, "w") as zf:
+        pkg = os.path.join(root, "photohive_spark")
+        for fn in os.listdir(pkg):
+            if fn.endswith(".py"):
+                zf.write(os.path.join(pkg, fn), f"photohive_spark/{fn}")
+    return z
+
+
+def test_spark_submit_pyfiles_run_and_resume(tmp_path, spark, sf_dir):
+    from photohive_spark.tokenize import tokens_table
+    tokens_path = str(tmp_path / "tokens.parquet")
+    tokens_table(spark, sf_dir).limit(80).write.parquet(tokens_path)
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "features")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_pipeline.py"),
+           "--tokens", tokens_path, "--output", out, "--n-buckets", "4"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads([l for l in r.stdout.splitlines()
+                        if l.startswith("{")][-1])
+    assert stats["buckets_run"] == 4 and stats["rows_this_run"] == 80
+
+    # resume: drop one bucket's manifest -> only that bucket re-runs
+    os.remove(os.path.join(out, "_lineage", "bucket_2.json"))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats2 = json.loads([l for l in r2.stdout.splitlines()
+                         if l.startswith("{")][-1])
+    assert stats2["buckets_run"] == 1
+    assert stats2["buckets_done"] == 4
+
+    from photohive_spark import lineage
+    assert lineage.read_result(spark, out).count() == 80

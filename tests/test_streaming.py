@@ -1,0 +1,90 @@
+"""Structured Streaming: stream features == batch features, watermarked
+windowed aggregates, stateful gap sessionization == batch sessionize."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from photohive_spark import pit, streaming
+from photohive_spark.engine import extract_features_df
+from photohive_spark.tokenize import tokens_table
+
+
+def test_stream_features_equal_batch(spark, sf_dir, tmp_path):
+    toks = tokens_table(spark, sf_dir).limit(60)
+    src = str(tmp_path / "tok_stream")
+    toks.repartition(3).write.parquet(src)
+
+    stream = streaming.read_tokens_stream(spark, src, max_files_per_trigger=1)
+    streaming.run_to_memory(streaming.stream_features(stream), "feat_stream")
+    got = {r.doc_id: r for r in spark.sql("select * from feat_stream").collect()}
+
+    want = {r.doc_id: r
+            for r in extract_features_df(spark.read.parquet(src)).collect()}
+    assert set(got) == set(want) and len(got) == 60
+    for k in got:
+        assert got[k].rms_mean == want[k].rms_mean
+        assert list(got[k].tokens) == list(want[k].tokens)
+        assert list(got[k].spectrum_bands) == list(want[k].spectrum_bands)
+
+
+def test_windowed_source_stats(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F2
+    toks = tokens_table(spark, sf_dir).limit(100).cache()
+    src = str(tmp_path / "tok_stream2")
+    # time-ordered file chunks: the watermark advances across microbatches
+    # (file source processes oldest-mtime first), closing earlier windows
+    for lo, hi in [(0, 20), (20, 40), (40, 60), (60, 80), (80, 100)]:
+        (toks.filter((F2.col("doc_id").cast("long") >= lo)
+                     & (F2.col("doc_id").cast("long") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = streaming.read_tokens_stream(spark, src, max_files_per_trigger=1)
+    streaming.run_to_memory(
+        streaming.windowed_source_stats(stream, window="10 minutes",
+                                        watermark="1 second"),
+        "win_stats", mode="append")
+    # append mode + availableNow: windows at/after the final watermark stay
+    # open, so compare only the emitted (closed) windows against batch
+    got = spark.sql("select * from win_stats").collect()
+    import pyspark.sql.functions as F
+    want = {(r.window_start, r.source): (r.n_docs, r.avg_n_tok)
+            for r in (spark.read.parquet(src)
+                      .groupBy(F.window("event_ts", "10 minutes").alias("w"), "source")
+                      .agg(F.count("*").alias("n_docs"),
+                           F.avg("n_tok").alias("avg_n_tok"))
+                      .select(F.col("w.start").alias("window_start"),
+                              "source", "n_docs", "avg_n_tok")).collect()}
+    assert got, "no closed windows emitted"
+    for r in got:
+        wn, wa = want[(r.window_start, r.source)]
+        assert (r.n_docs, r.avg_n_tok) == (wn, pytest.approx(wa))
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in (1, 2):
+        offs = [0, 10, 20, 4000, 4010, 9000, 9050, 50000]
+        rows += [(u, t0 + dt.timedelta(seconds=s + u)) for s in offs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "ev_stream")
+    df.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(
+        streaming.sessionize_stream(stream, gap_seconds=600),
+        "sess_stream")
+    got = {(r.user_id, r.session_start): (r.session_end, r.n_events)
+           for r in spark.sql("select * from sess_stream").collect()}
+
+    batch = pit.session_stats(spark.read.parquet(src), "user_id", "ts",
+                              gap_seconds=600).collect()
+    # the stream emits CLOSED sessions (gap exceeded or timed out before the
+    # final watermark); every emitted session must match a batch session
+    assert got, "no sessions emitted"
+    want = {(r.user_id, r.session_start): (r.session_end, r.n_events)
+            for r in batch}
+    for k, v in got.items():
+        assert k in want and want[k] == v, (k, v, want.get(k))
