@@ -357,6 +357,12 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=10, n_planes=4)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path for near-dup: LSH-bucketed candidates + exact verify."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_lsh(emb, threshold=0.3)
+
+
 def q_flatten_features(spark, sf_dir):
     """Fixed-width padded feature vector (reference to_json analog)."""
     from photohive_spark.engine import flatten_features
@@ -416,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
         "flatten_features": q_flatten_features,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 

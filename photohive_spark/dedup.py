@@ -125,7 +125,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
                    id_col: str, k: int, threshold: float) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs."""
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Scale: only docs that appear in a candidate pair are shingled — the
+    semi-join below prunes the corpus BEFORE the explode, so the expensive
+    shingle fan-out is proportional to candidates, not corpus size."""
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    docs = docs.join(cand_ids, on=id_col, how="left_semi")
     sh = word_shingles(docs, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -192,6 +200,41 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              .cast("bigint") * F.lit(1 << b)) for b in range(bits))
         .alias("simhash"))
     return sim
+
+
+def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95, dim: int = 64,
+                          n_planes: int = 8, n_tables: int = 3,
+                          seed: int = 42) -> DataFrame:
+    """Scale path for embedding near-dup: candidates = pairs sharing a
+    sign-LSH bucket in ANY of ``n_tables`` independent hyperplane sets
+    (banding boosts recall: two vectors at cosine c collide per table with
+    p=(1-acos(c)/pi)^n_planes; 1-(1-p)^B overall), then exact cosine
+    verification. The corpus never self-joins — each join is restricted to
+    bucket-mates, so at 10^12 rows the candidate set stays near-linear.
+    """
+    from .similarity import cosine_expr, hyperplanes, lsh_bucket_expr
+
+    v = F.col(vec_col).cast("array<double>")
+    buckets = [lsh_bucket_expr(v, hyperplanes(dim, n_planes, seed + 1000 * t))
+               .alias(f"b{t}") for t in range(n_tables)]
+    base = emb.select(F.col(id_col), v.alias("v"), *buckets)
+    keyed = base.select(
+        id_col, "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+            for t in range(n_tables)])).alias("k")
+    ).select(id_col, "v", "k.tbl", "k.bkt")
+    cand = (keyed.alias("a").join(keyed.alias("b"), on=["tbl", "bkt"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cosine_expr("a.v", "b.v").alias("cos"))
+            .distinct())
+    return (cand.where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+            .distinct())
 
 
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",

@@ -283,12 +283,15 @@ def find_valid_parents(counts: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG) -
     sal = saliency_scores(counts, cfg)
     order = np.lexsort((np.arange(len(sal)), -sal))
     total = int(counts.sum())
-    goal = int(total * cfg.coverage_thresh)
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    # CANONICAL DEVIATION: goal floored at 1 so tiny inputs (total*coverage
+    # < 1, impossible in the reference thanks to its 350x350 minimum,
+    # src/utilities.c:69) still select at least one parent.
+    goal = max(1, int(total * cfg.coverage_thresh))
     cum = np.cumsum(counts[order])
     cum_prev = cum - counts[order]
     keep = cum_prev < goal
-    if total == 0:
-        return np.array([], dtype=np.int64)
     return order[keep].astype(np.int64)
 
 

@@ -185,3 +185,16 @@ def test_fingerprint(docs):
     for r in docs.collect():
         norm = " ".join(r.text.lower().strip().split())
         assert got[r.doc_id] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    import pyspark.sql.functions as F2
+    small = emb.where(F2.col("vec_id") < 60)
+    # plant exact duplicates (cosine 1.0): LSH must recall 100% of them
+    dup = small.union(small.withColumn("vec_id", F2.col("vec_id") + 10000))
+    got = dedup.embedding_neardup_lsh(dup, threshold=0.999999).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    for i in range(60):
+        assert (i, i + 10000) in pairs          # identical -> same bucket always
+    # and every emitted pair is verified above threshold
+    assert all(r.cosine >= 0.999999 for r in got)
