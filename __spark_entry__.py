@@ -243,6 +243,78 @@ def q_minmax_normalize(spark, sf_dir):
         F.array_max("tokens").alias("tok_max"))
 
 
+# Laplacian [-1,2,-1] zero-padded filtered sequence (kernels.LAPLACIAN_1D /
+# reference src/filtering.c:40-50,81-107), x = t/VOCAB. Identical text in
+# Spark SQL (element_at is 1-based) and DuckDB (tokens[i] is 1-based).
+def _lap_expr(elem: str, size: str) -> str:
+    # cast(... as double) everywhere: a bare 50257.0 literal is DECIMAL in
+    # both engines and int/decimal division semantics differ between them
+    d = f"cast({VOCAB_SIZE} as double)"
+    x = f"(cast({elem.format(i='i')} as double) / {d})"
+    xl = f"(cast({elem.format(i='(i-1)')} as double) / {d})"
+    xr = f"(cast({elem.format(i='(i+1)')} as double) / {d})"
+    return (f"(case when i > 1 then -{xl} else 0.0 end)"
+            f" + 2.0 * {x}"
+            f" + (case when i < {size} then -{xr} else 0.0 end)")
+
+
+_SPARK_LAP = f"""
+transform(sequence(1, size(tokens)),
+          i -> {_lap_expr('element_at(tokens, {i})', 'size(tokens)')})
+"""
+_DUCK_LAP = f"""
+list_transform(range(1, len(tokens) + 1),
+               i -> {_lap_expr('tokens[{i}]', 'len(tokens)')})
+"""
+
+
+def q_sharpness(spark, sf_dir):
+    """Laplacian-variance sharpness (get_variance_sharpness analog,
+    src/filtering.c:151-183) as a pure Catalyst fold — oracle-checkable."""
+    toks = tokens_table(spark, sf_dir)
+    f = toks.select("doc_id", F.expr(_SPARK_LAP).alias("filt"),
+                    F.col("n_tok").cast("double").alias("n"))
+    s = F.aggregate("filt", F.lit(0.0), lambda a, v: a + v)
+    sq = F.aggregate("filt", F.lit(0.0), lambda a, v: a + v * v)
+    sel = F.filter("filt", lambda v: v > 0.2)
+    ssum = F.aggregate(sel, F.lit(0.0), lambda a, v: a + v)
+    scnt = F.size(sel)
+    out = f.select("doc_id", "n", s.alias("s"), sq.alias("sq"),
+                   ssum.alias("ssum"), scnt.alias("scnt"))
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    return out.select(
+        "doc_id",
+        F.round(F.when(mean == 0.0, 0.0).otherwise(var / mean), 6)
+         .alias("sharpness"),
+        F.round(F.when(F.col("scnt") > 0, F.col("ssum") / F.col("scnt"))
+                 .otherwise(0.0), 6).alias("sharpness_avg"))
+
+
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation as a Catalyst fold (Wiener–Khinchin kernel's
+    time-domain cross-check; north_star 'autocorrelation')."""
+    toks = tokens_table(spark, sf_dir).where(F.col("n_tok") >= 2)
+    x = (f"transform(tokens, t -> cast(t as double) / "
+         f"cast({VOCAB_SIZE} as double))")
+    f = toks.select(
+        "doc_id",
+        F.expr(x).alias("x"),
+        F.col("n_tok").cast("double").alias("n"))
+    m = F.aggregate("x", F.lit(0.0), lambda a, v: a + v) / F.col("n")
+    f = f.withColumn("m", m)
+    num = F.expr("""
+      aggregate(sequence(1, cast(n as int) - 1), cast(0.0 as double),
+                (a, i) -> a + (element_at(x, i) - m) * (element_at(x, i + 1) - m))
+    """)
+    den = F.expr("""
+      aggregate(x, cast(0.0 as double), (a, v) -> a + (v - m) * (v - m))
+    """)
+    return f.select(
+        "doc_id",
+        F.round(F.when(den == 0.0, 0.0).otherwise(num / den), 6).alias("r1"))
+
+
 def q_hist(spark, sf_dir):
     toks = tokens_table(spark, sf_dir)
     t = toks.select(F.explode("tokens").alias("t"))
@@ -401,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample": q_downsample,
         "crop_slice": q_crop_slice,
         "rms_stats": q_rms_stats,
+        "sharpness": q_sharpness,
+        "autocorr_lag1": q_autocorr_lag1,
         "minmax_normalize": q_minmax_normalize,
         "hist": q_hist,
         "entropy_by_source": q_entropy_by_source,
@@ -624,6 +698,53 @@ select doc_id,
 from t
 """
 
+    sql["sharpness"] = f"""
+with f as (
+  select doc_id, {_DUCK_LAP} as filt, cast(len(tokens) as double) as n
+  from {_TOKENS}),
+  agg as (
+    select doc_id, n,
+      list_reduce(list_prepend(cast(0.0 as double), filt),
+                  (a, v) -> a + v) as s,
+      list_reduce(list_prepend(cast(0.0 as double),
+                  list_transform(filt, v -> v * v)), (a, v) -> a + v) as sq,
+      list_reduce(list_prepend(cast(0.0 as double),
+                  list_filter(filt, v -> v > 0.2)), (a, v) -> a + v) as ssum,
+      len(list_filter(filt, v -> v > 0.2)) as scnt
+    from f)
+select doc_id,
+  round(case when s / n = 0.0 then 0.0
+             else (sq / n - (s / n) * (s / n)) / (s / n) end, 6) as sharpness,
+  round(case when scnt > 0 then ssum / scnt else 0.0 end, 6) as sharpness_avg
+from agg
+"""
+
+    sql["autocorr_lag1"] = f"""
+with f as (
+  select doc_id,
+         list_transform(tokens,
+                        t -> cast(t as double) / cast({VOCAB_SIZE} as double)) as x,
+         cast(len(tokens) as double) as n
+  from {_TOKENS} where len(tokens) >= 2),
+  withm as (
+    select doc_id, x, n,
+      list_reduce(list_prepend(cast(0.0 as double), x), (a, v) -> a + v) / n
+        as m
+    from f),
+  acc as (
+    select doc_id,
+      list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(range(1, cast(n as int)),
+                       i -> (x[i] - m) * (x[i + 1] - m))), (a, v) -> a + v)
+        as num,
+      list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(x, v -> (v - m) * (v - m))), (a, v) -> a + v) as den
+    from withm)
+select doc_id,
+  round(case when den = 0.0 then 0.0 else num / den end, 6) as r1
+from acc
+"""
+
     sql["minmax_normalize"] = f"""
 select doc_id, list_min(tokens) as tok_min, list_max(tokens) as tok_max
 from {_TOKENS}
@@ -754,7 +875,7 @@ select doc_id,
     as avg_word_len,
   round(n_punct / cast(greatest(n_chars, 1) as double), 6) as punct_ratio,
   round(n_stop / cast(greatest(n_words, 1) as double), 6) as stopword_ratio,
-  round(least(n_words / 100.0, 1.0) * 0.4
+  round(least(cast(n_words as double) / cast(100 as double), 1.0) * 0.4
         + (1.0 - least(n_punct / cast(greatest(n_chars, 1) as double) * 5.0, 1.0)) * 0.3
         + least(n_stop / cast(greatest(n_words, 1) as double) * 4.0, 1.0) * 0.3, 6)
     as quality

@@ -606,6 +606,24 @@ def spectral_peaks(profile: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
     return out
 
 
+def blur_direction_response(profile: np.ndarray,
+                            peaks: list[tuple[int, float]],
+                            cfg: EngineConfig = DEFAULT_CONFIG
+                            ) -> list[np.ndarray]:
+    """Per-peak frequency-response curve — the Python-side
+    ``generate_blur_direction_frequency_response`` (reference
+    ``core.py:122-179``): for each blur vector's angle, quantize with
+    ``q_ang = int(angle/(361/parts) + parts/2) % parts`` and return that
+    angle row of the (angle x radius) profile."""
+    bins = np.asarray(profile, dtype=np.float64)
+    na = bins.shape[0]
+    out = []
+    for angle, _mag in peaks:
+        q_ang = int(angle / (361.0 / na) + na / 2) % na
+        out.append(bins[q_ang].copy())
+    return out
+
+
 # ---------------------------------------------------------------------------
 # autocorrelation / bandpass / sharpness
 # ---------------------------------------------------------------------------

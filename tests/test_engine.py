@@ -58,3 +58,36 @@ def test_no_row_python_in_plan(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_long_tail_docs_through_spark(spark):
+    """120k-token docs (the n_tok long tail) flow through the Arrow path
+    and match local kernels — the skew-tail robustness check."""
+    import datetime as dt
+    rng = np.random.default_rng(5)
+    rows = [(f"long{i}", rng.integers(0, 50257, 120_000, dtype=np.int32).tolist(),
+             120_000, "web", dt.datetime(2026, 1, 1))
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, event_ts_ignore string"
+        .replace("event_ts_ignore string", "source string, event_ts timestamp"))
+    out = {r.doc_id: r for r in extract_features_df(df, CFG).collect()}
+    assert len(out) == 4
+    for doc_id, toks, *_ in rows:
+        want = features_row(np.asarray(toks, dtype=np.int32), CFG)
+        got = out[doc_id]
+        assert np.isclose(got.rms_mean, want["rms_mean"], rtol=1e-12)
+        assert np.allclose(got.spectrum_bands, want["spectrum_bands"], rtol=1e-9)
+        assert len(got.tokens) == 120_000
+
+
+def test_blur_direction_response():
+    from photohive_spark import kernels as K2
+    rng = np.random.default_rng(9)
+    prof = rng.random((72, 40))
+    peaks = [(-90, 0.5), (0, 0.2), (87, 0.9)]
+    curves = K2.blur_direction_response(prof, peaks)
+    assert len(curves) == 3
+    for (angle, _), c in zip(peaks, curves):
+        q = int(angle / (361.0 / 72) + 36) % 72
+        assert (c == prof[q]).all()
