@@ -138,6 +138,22 @@ def q_asof_join_pandas(spark, sf_dir):
                                 "snapshot_ts", ["purchase_value"])
 
 
+def q_asof_join_salted(spark, sf_dir):
+    """Skew-salted as-of (north_rule: sorted, salted partitions) — same
+    oracle as asof_join, so salting is proven semantics-preserving."""
+    probes, snaps = _probes_snaps(spark, sf_dir)
+    return pit.asof_join_salted(probes, snaps, "user_id", "probe_ts",
+                                "snapshot_ts", ["purchase_value"],
+                                salt_buckets=4)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN variant (coarse-quantized cells, n_probe=3 of 8)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+    return similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+
+
 def q_salted_agg(spark, sf_dir):
     """skew.two_stage_agg correctness: salted partial+final == plain
     groupBy (additive aggregates commute with salting)."""
@@ -462,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_strict": q_asof_join_strict,
         "asof_join_pandas": q_asof_join_pandas,
+        "asof_join_salted": q_asof_join_salted,
         "salted_agg": q_salted_agg,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
@@ -497,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "flatten_features": q_flatten_features,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -593,6 +611,7 @@ from probes p asof left join snaps s
     sql["asof_join"] = asof_base.format(op=">=")
     sql["asof_join_strict"] = asof_base.format(op=">")
     sql["asof_join_pandas"] = asof_base.format(op=">=")
+    sql["asof_join_salted"] = asof_base.format(op=">=")
 
     sql["salted_agg"] = """
 select event_type, count(*) as n,

@@ -73,6 +73,33 @@ def asof_join(probes: DataFrame, snapshots: DataFrame, key: str,
     return out
 
 
+def asof_join_salted(probes: DataFrame, snapshots: DataFrame, key: str,
+                     probe_ts: str, snapshot_ts: str,
+                     value_cols: list[str], strict: bool = False,
+                     salt_buckets: int = 8) -> DataFrame:
+    """Skew-resistant as-of join for hot keys (north_rule: 'as-of merge over
+    sorted, salted partitions').
+
+    Probes are salted into ``salt_buckets`` sub-partitions of each key;
+    the (small-per-key) snapshot side is replicated into every salt bucket,
+    so each (key, salt) partition holds ALL snapshots for the key plus
+    1/salt_buckets of its probes — identical semantics to
+    :func:`asof_join`, but a key with 10^9 probes spreads over
+    ``salt_buckets`` tasks instead of pinning one. Cost: snapshot side
+    x salt_buckets (snapshots per key are bounded — feature snapshots, not
+    events — so the replication is cheap relative to the probe side)."""
+    salted_probes = probes.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()),
+                        F.lit(salt_buckets))).withColumn(
+        "_k2", F.concat_ws("#", F.col(key), F.col("_salt")))
+    salted_snaps = snapshots.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_k2", F.concat_ws("#", F.col(key), F.col("_salt")))
+    out = asof_join(salted_probes, salted_snaps, "_k2", probe_ts, snapshot_ts,
+                    value_cols, strict=strict)
+    return out.drop("_salt", "_k2")
+
+
 def asof_join_broadcast(probes: DataFrame, snapshots: DataFrame, key: str,
                         probe_ts: str, snapshot_ts: str,
                         value_cols: list[str], strict: bool = False) -> DataFrame:

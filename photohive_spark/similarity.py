@@ -61,6 +61,67 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return out.cast("bigint")
 
 
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax cosine over a small literal centroid set, all JVM-side).
+    At scale the table is written partitioned by ``ivf_cell`` so a probe
+    scans only n_probe_cells partitions (partition pruning)."""
+    v = F.col(vec_col).cast("array<double>")
+    scores = []
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        scores.append(F.struct(cosine_expr(v, lit).alias("s"),
+                               F.lit(ci).alias("cell")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return emb.select(F.col(id_col), v.alias("v"),
+                      best["cell"].alias("ivf_cell"))
+
+
+def ivf_centroids_from_sample(emb, n_cells: int = 8,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              iters: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (centroid count is
+    tiny; training on a bounded sample is the standard IVF recipe —
+    clustering cost is O(sample), independent of corpus size)."""
+    sample = np.array([list(r[vec_col]) for r in
+                       emb.orderBy(id_col).limit(1024).collect()],
+                      dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    cents = sample[:n_cells].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 8, n_probe: int = 2,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN top-k: score only vectors in the query's ``n_probe`` nearest
+    cells. With the table pre-partitioned by ivf_cell this is a pruned
+    scan of n_probe/n_cells of the corpus."""
+    if centroids is None:
+        centroids = ivf_centroids_from_sample(emb, n_cells, vec_col, id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (assigned.where(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
+            .select(id_col,
+                    F.round(cosine_expr(F.col("v"), qlit), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42) -> DataFrame:

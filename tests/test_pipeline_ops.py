@@ -198,3 +198,17 @@ def test_embedding_neardup_lsh_recall(spark, emb):
         assert (i, i + 10000) in pairs          # identical -> same bucket always
     # and every emitted pair is verified above threshold
     assert all(r.cosine >= 0.999999 for r in got)
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = list(emb.orderBy("vec_id").limit(1).collect()[0].embedding)
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in similarity.ivf_topk(emb, q, k=10,
+                                                    n_cells=8, n_probe=3).collect()]
+    assert exact[0] in approx                  # query's own vector found
+    assert len(set(exact) & set(approx)) >= 5  # decent recall with 3/8 cells
+    # cell assignment is a partition: every vector lands in exactly one cell
+    cents = similarity.ivf_centroids_from_sample(emb, 8)
+    cells = similarity.ivf_assign(emb, cents)
+    assert cells.count() == emb.count()
+    assert cells.select("ivf_cell").distinct().count() <= 8

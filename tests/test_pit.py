@@ -113,3 +113,16 @@ def test_session_stats(spark):
         "k", "ts", gap_seconds=600).orderBy("session_id").collect()
     assert [(r.session_id, r.n_events, r.duration_s) for r in got] == [
         (0, 2, 10.0), (1, 1, 0.0)]
+
+
+def test_asof_salted_matches_unsalted(spark):
+    pdf, sdf, probes_pd, snaps_pd = _mk(spark, seed=11)
+    want = {r.probe_id: (r.matched_ts, r.feat)
+            for r in pit.asof_join(pdf, sdf, "doc_id", "probe_ts",
+                                   "snapshot_ts", ["feat"]).collect()}
+    got_rows = pit.asof_join_salted(pdf, sdf, "doc_id", "probe_ts",
+                                    "snapshot_ts", ["feat"],
+                                    salt_buckets=4).collect()
+    assert len(got_rows) == len(want)
+    for r in got_rows:
+        assert (r.matched_ts, r.feat) == want[r.probe_id], r.probe_id
