@@ -119,7 +119,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
                     F.col(f"y.{id_col}").alias("id_b"))
-            .distinct())
+            .distinct()
+            # materialize candidates once: verify_jaccard consumes them
+            # twice (id semi-join + intersection join) and recomputing the
+            # whole LSH banding subtree per consumer doubles the cost
+            .persist())
     return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 
 
