@@ -100,7 +100,9 @@ def _make_kernel(cfg: EngineConfig):
         for pdf in batches:
             cols: dict[str, list] = {n: [] for n in feature_names}
             for toks in pdf["tokens"]:
-                row = features_row(np.asarray(toks, dtype=np.int32), cfg)
+                t = (np.array([], dtype=np.int32) if toks is None
+                     else np.asarray(toks, dtype=np.int32))
+                row = features_row(t, cfg)
                 for n in feature_names:
                     cols[n].append(row[n])
             out = pd.DataFrame({

@@ -91,3 +91,44 @@ def test_blur_direction_response():
     for (angle, _), c in zip(peaks, curves):
         q = int(angle / (361.0 / 72) + 36) % 72
         assert (c == prof[q]).all()
+
+
+def test_null_and_empty_tokens_are_safe(spark):
+    import datetime as dt
+    rows = [("a", None, 0, "web", dt.datetime(2026, 1, 1)),
+            ("b", [], 0, "web", dt.datetime(2026, 1, 1)),
+            ("c", [1, 2, 3], 3, "web", dt.datetime(2026, 1, 1))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp")
+    out = {r.doc_id: r for r in extract_features_df(df, CFG).collect()}
+    assert out["a"].rms_mean == 0.0 and out["b"].rms_mean == 0.0
+    assert out["c"].rms_mean > 0.0
+    assert list(out["c"].tokens) == [1, 2, 3]
+
+
+def test_multi_snapshot_asof_monotone(spark, sf_dir):
+    """feature_snapshots(n>1): snapshots are prefix-features at increasing
+    ts; an as-of probe after the k-th snapshot must match snapshot k."""
+    from photohive_spark.engine import feature_snapshots
+    from photohive_spark import pit
+    import pyspark.sql.functions as F2
+    toks = tokens_table(spark, sf_dir).limit(10).cache()
+    snaps = feature_snapshots(toks, n_snapshots=3, snapshot_interval_s=3600) \
+        .select("doc_id", "snapshot_ts", "rms_mean", "n_tok")
+    assert snaps.count() == 30
+    # probe 90 minutes after event_ts -> must match the 2nd snapshot (k=1)
+    probes = toks.select(
+        "doc_id",
+        (F2.col("event_ts") + F2.expr("interval 90 minutes")).alias("probe_ts"))
+    j = pit.asof_join(probes, snaps, "doc_id", "probe_ts", "snapshot_ts",
+                      ["rms_mean", "n_tok"])
+    rows = j.collect()
+    assert len(rows) == 10
+    by_key = {(r.doc_id, r.snapshot_ts): r
+              for r in snaps.collect()}
+    for r in rows:
+        assert r.matched_ts is not None
+        assert (r.probe_ts - r.matched_ts).total_seconds() == 1800.0  # 2nd snap
+        snap = by_key[(r.doc_id, r.matched_ts)]
+        assert r.rms_mean == snap.rms_mean and r.n_tok == snap.n_tok
