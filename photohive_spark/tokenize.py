@@ -86,9 +86,18 @@ def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def validate_tokens(df: DataFrame, min_tok: int, max_tok: int) -> DataFrame:
+def validate_tokens(df: DataFrame, min_tok: int, max_tok: int,
+                    check_range: bool = False) -> DataFrame:
     """Row-validity predicate — analog of ``pre_compute_error_checks``
-    (reference ``src/utilities.c:64-87``: min size, MAX_NUM_PIXELS cap).
-    A plain Catalyst filter: pushes down to the scan where possible."""
-    return df.filter((F.col("n_tok") >= min_tok) & (F.col("n_tok") <= max_tok)
-                     & F.col("tokens").isNotNull())
+    (reference ``src/utilities.c:64-87``: min size, MAX_NUM_PIXELS cap,
+    and read_image's out-of-range value rejection,
+    ``src/image_processing.c:122-173``). A plain Catalyst filter.
+
+    ``check_range`` additionally asserts every token is in [0, VOCAB_SIZE)
+    — a JVM-side forall, for untrusted upstream tables."""
+    out = df.filter((F.col("n_tok") >= min_tok) & (F.col("n_tok") <= max_tok)
+                    & F.col("tokens").isNotNull())
+    if check_range:
+        out = out.filter(F.forall(
+            "tokens", lambda t: (t >= 0) & (t < VOCAB_SIZE)))
+    return out

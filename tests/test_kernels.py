@@ -291,3 +291,15 @@ def test_rgb2pgm_luma():
     p = np.array([0.25, 0.5])
     rr, gg, bb = K.pgm2rgb(p)
     assert (rr == p).all() and (gg == p).all() and (bb == p).all()
+
+
+def test_c_test_harness_config_variant():
+    """The C test harness runs streak=1.15 vs Python's 1.20 (SURVEY §5,
+    src/test/test.c:41 vs core.py:447) — a config choice, not a constant.
+    The plumbing must honor it: seed-0 profile has a peak above avg*1.15
+    but below avg*1.20."""
+    from photohive_spark.config import EngineConfig
+    prof = np.random.default_rng(0).random((72, 40)) * 0.6
+    p_lo = K.spectral_peaks(prof, EngineConfig(fft_streak_thresh=1.15))
+    p_hi = K.spectral_peaks(prof, EngineConfig(fft_streak_thresh=1.20))
+    assert len(p_lo) == 1 and len(p_hi) == 0

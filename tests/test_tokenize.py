@@ -49,3 +49,15 @@ def test_tokenize_plan_is_codegen_only(spark, sf_dir):
     plan = tokens_table(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # fully JVM-side, no Python at all
+
+
+def test_validate_token_range(spark):
+    import datetime as dt
+    rows = [("ok", [1, 2, 3], 3, "w", dt.datetime(2026, 1, 1)),
+            ("neg", [1, -5, 3], 3, "w", dt.datetime(2026, 1, 1)),
+            ("big", [1, 60000, 3], 3, "w", dt.datetime(2026, 1, 1))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp")
+    kept = [r.doc_id for r in validate_tokens(df, 0, 10, check_range=True).collect()]
+    assert kept == ["ok"]
