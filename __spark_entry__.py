@@ -924,6 +924,42 @@ order by cosine desc, a.vec_id asc
 limit 10
 """
 
+    # lsh_topk: same 4 seeded hyperplanes as similarity.lsh_topk(n_planes=4),
+    # inlined as literals; identical sequential dot-product folds
+    import numpy as np
+    planes = similarity.hyperplanes(64, 4, seed=42)
+
+    def _duck_dot(vec_sql: str, plane) -> str:
+        lits = "[" + ", ".join(f"cast({float(x)!r} as double)" for x in plane) + "]"
+        return (f"list_reduce(list_prepend(cast(0.0 as double), "
+                f"list_transform(range(1, 65), i -> {vec_sql}[i] * ({lits})[i])), "
+                f"(x, y) -> x + y)")
+
+    bucket_sql = " + ".join(
+        f"(case when {_duck_dot('a.v', p)} > 0 then {1 << j} else 0 end)"
+        for j, p in enumerate(planes))
+    sql["lsh_topk"] = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+  q as (select v from e order by vec_id limit 1),
+  qsig as (
+    select cast({bucket_sql.replace('a.v', 'q.v')} as bigint) as sig from q),
+  bucketed as (
+    select a.vec_id, a.v, cast({bucket_sql} as bigint) as bucket from e a)
+select b.vec_id,
+  round(list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(range(1, 65), i -> b.v[i] * q.v[i])), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(cast(0.0 as double),
+             list_transform(b.v, x -> x * x)), (p2, q2) -> p2 + q2))
+           * sqrt(list_reduce(list_prepend(cast(0.0 as double),
+             list_transform(q.v, x -> x * x)), (p2, q2) -> p2 + q2))), 6)
+    as cosine
+from bucketed b, q, qsig
+where b.bucket = qsig.sig
+order by cosine desc, b.vec_id asc
+limit 10
+"""
+
     sql["embedding_neardup"] = f"""
 with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
            from embeddings where vec_id < 300)

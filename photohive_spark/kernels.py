@@ -372,7 +372,9 @@ def assign_parents(counts: np.ndarray, parents: np.ndarray,
     return assign
 
 
-def palette(h, s, v, cfg: EngineConfig = DEFAULT_CONFIG) -> list[tuple[float, float, float, float]]:
+def palette(h, s, v, cfg: EngineConfig = DEFAULT_CONFIG,
+            g: np.ndarray | None = None,
+            counts: np.ndarray | None = None) -> list[tuple[float, float, float, float]]:
     """Color-palette analog: histogram -> coverage top-k parents -> nearest
     parent reassign -> per-parent averages with the reference's
     offset-to-180 circular hue mean (``calculate_avg_hsv``,
@@ -386,8 +388,10 @@ def palette(h, s, v, cfg: EngineConfig = DEFAULT_CONFIG) -> list[tuple[float, fl
     n = h.size
     if n == 0:
         return []
-    g = hist_bin_ids(h, s, v, cfg)
-    counts = np.bincount(g, minlength=cfg.hist_cells).astype(np.int64)
+    if g is None:
+        g = hist_bin_ids(h, s, v, cfg)
+    if counts is None:
+        counts = np.bincount(g, minlength=cfg.hist_cells).astype(np.int64)
     parents = find_valid_parents(counts, cfg)
     if len(parents) == 0:
         return []
@@ -769,8 +773,10 @@ def extract_features(tokens: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
 
     rms_mean, rms_std = rms_stats(x)
     mean_norm_value = float(s.mean()) if s.size else 0.0  # S_bar analog
-    counts = token_histogram(h, s, v, cfg)
-    pal = palette(h, s, v, cfg)
+    # one bin-assignment pass shared by histogram and palette
+    g = hist_bin_ids(h, s, v, cfg) if h.size else np.array([], dtype=np.int64)
+    counts = np.bincount(g, minlength=cfg.hist_cells).astype(np.int64)
+    pal = palette(h, s, v, cfg, g=g, counts=counts)
     bands = spectrum_bands(x, cfg.radius_parts, cfg)
     prof = blur_profile_2d(x, cfg, dc_bias=rms_mean)
     peaks = spectral_peaks(prof, cfg)

@@ -133,8 +133,15 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
+
+    def _seq_dot(p, q):  # sequential fold — same FP order as the SQL path
+        acc = 0.0
+        for a, b in zip(p, q):
+            acc += float(a) * float(b)
+        return acc
+
     qsig = int(sum((1 << j) for j, p in enumerate(planes)
-                   if float(np.dot(p, np.asarray(query_vec))) > 0))
+                   if _seq_dot(p, query_vec) > 0))
     v = F.col(vec_col).cast("array<double>")
     bucketed = emb.select(F.col(id_col), v.alias("v"),
                           lsh_bucket_expr(v, planes).alias("bucket"))
