@@ -97,14 +97,10 @@ def _make_kernel(cfg: EngineConfig):
     feature_names = [f.name for f in FEATURE_FIELDS]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .batch_kernels import batch_extract
         for pdf in batches:
-            cols: dict[str, list] = {n: [] for n in feature_names}
-            for toks in pdf["tokens"]:
-                t = (np.array([], dtype=np.int32) if toks is None
-                     else np.asarray(toks, dtype=np.int32))
-                row = features_row(t, cfg)
-                for n in feature_names:
-                    cols[n].append(row[n])
+            rows = batch_extract(list(pdf["tokens"]), cfg)
+            cols = {n: [r[n] for r in rows] for n in feature_names}
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "tokens": pdf["tokens"].to_numpy(),

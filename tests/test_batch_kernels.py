@@ -1,0 +1,57 @@
+"""Batched fast path == per-doc kernels, row for row. Exact for integer
+outputs, rtol 1e-9 for floats (bandpass: FFT-conv vs direct conv, rtol
+1e-7)."""
+
+import numpy as np
+import pytest
+
+from photohive_spark.batch_kernels import batch_extract
+from photohive_spark.config import DEFAULT_CONFIG as CFG, EngineConfig
+from photohive_spark.engine import features_row
+
+
+def _docs():
+    rng = np.random.default_rng(123)
+    docs = []
+    # clustered lengths (the training-corpus shape batching exploits)
+    for n in (64, 64, 64, 64, 300, 300, 517, 1, 2, 7):
+        docs.append(rng.integers(0, 50257, n, dtype=np.int32))
+    docs.append(np.array([], dtype=np.int32))
+    docs.append(None)
+    docs.append(np.full(128, 777, dtype=np.int32))      # constant doc
+    docs.append((50257 // (np.arange(1, 201) )).astype(np.int32))  # reciprocal
+    return docs
+
+
+def test_batch_matches_per_doc():
+    docs = _docs()
+    got = batch_extract(docs, CFG)
+    for i, t in enumerate(docs):
+        tt = np.array([], dtype=np.int32) if t is None else np.asarray(t, np.int32)
+        want = features_row(tt, CFG)
+        g = got[i]
+        assert g["hist_counts"] == want["hist_counts"], i
+        assert g["spectral_peaks"] == want["spectral_peaks"], i
+        for k in ("rms_mean", "rms_std", "mean_norm_value", "hist_entropy",
+                  "sharpness_avg"):
+            assert np.isclose(g[k], want[k], rtol=1e-9, atol=1e-12), (i, k)
+        for k in ("spectrum_bands", "autocorr"):
+            assert np.allclose(g[k], want[k], rtol=1e-9, atol=1e-12), (i, k)
+        assert np.allclose(g["bandpass_energy"], want["bandpass_energy"],
+                           rtol=1e-7, atol=1e-12), i
+        gp = [(p["h"], p["s"], p["v"], p["pct"]) for p in g["palette"]]
+        wp = [(p["h"], p["s"], p["v"], p["pct"]) for p in want["palette"]]
+        assert np.allclose(gp, wp, rtol=1e-9), i
+
+
+def test_batch_faster_on_clustered_lengths():
+    import time
+    rng = np.random.default_rng(7)
+    docs = [rng.integers(0, 50257, 256, dtype=np.int32) for _ in range(400)]
+    batch_extract(docs[:10], CFG)     # warm caches
+    t0 = time.time(); batch_extract(docs, CFG); bt = time.time() - t0
+    t0 = time.time()
+    for d in docs:
+        features_row(d, CFG)
+    st = time.time() - t0
+    assert bt < st, (bt, st)          # batching must not be slower
