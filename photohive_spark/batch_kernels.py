@@ -38,16 +38,39 @@ def _band_onehot(nf: int, nb: int) -> np.ndarray:
     return out
 
 
-@lru_cache(maxsize=64)
-def _bandpass_rfft(n: int, cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
-    """rfft of each Gabor kernel zero-padded to length n, for the circular
-    convolution theorem; layout matches convolve_circular's (i-j)%n index."""
+def _bandpass_energy_batch(x: np.ndarray, cfg: EngineConfig) -> np.ndarray:
+    """Batched circular-convolution energies, direct form: for a 15-tap
+    bank the direct product (O(taps*n), one matmul for ALL filters) beats
+    FFT convolution (3 transforms per filter per row). Implements exactly
+    convolve_circular's wrap-pad + 'valid' convolve: windows of the
+    circularly extended signal dotted with the flipped kernels."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    m, n = x.shape
     bank = K.gabor_bank(cfg)
-    taps = bank.shape[1]
-    pad = np.zeros((bank.shape[0], n))
-    for j in range(taps):           # fold taps modulo n: exact circular wrap
-        pad[:, j % n] += bank[:, j]
-    return np.fft.rfft(pad, axis=1)
+    nfilt, taps = bank.shape
+    if n < taps:                       # tiny rows: fold taps modulo n, then
+        folded = np.zeros((nfilt, n))  # same windowed product with k=n
+        for j in range(taps):
+            folded[:, j % n] += bank[:, j]
+        coefs, k = folded, n
+    else:
+        coefs, k = bank, taps
+    pad = np.concatenate([x[:, -(k - 1):], x], axis=1) if k > 1 else x
+    if n <= 4096:
+        # short rows: one true GEMM for every row x filter at once
+        win = np.ascontiguousarray(sliding_window_view(pad, k, axis=1))
+        y = win.reshape(m * n, k) @ (coefs[:, ::-1].T / taps)  # (m*n, nfilt)
+        y = y.reshape(m, n, nfilt)
+        return (y * y).mean(axis=1)
+    # long rows: per-row C convolve — Python overhead is negligible and it
+    # avoids materializing the (m, n, taps) window tensor
+    out = np.empty((m, nfilt))
+    for r in range(m):
+        for fi in range(nfilt):
+            yr = np.convolve(pad[r], coefs[fi], mode="valid") / taps
+            out[r, fi] = (yr * yr).mean()
+    return out
 
 
 def _lognorm_rows(p: np.ndarray) -> np.ndarray:
@@ -62,6 +85,87 @@ def _lognorm_rows(p: np.ndarray) -> np.ndarray:
                        np.log(np.maximum(flat, 1e-300)) * g_s[:, None])
     out[mx <= 1.0] = 0.0
     return out.reshape(p.shape)
+
+
+@lru_cache(maxsize=8)
+def _saliency_weights(cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    nh, ns, nv = K.cell_nominals(cfg)
+    return (cfg.quantity_weight
+            + cfg.saturation_value_weight * ns * nv) * 1000.0
+
+
+def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
+                   g: np.ndarray, counts: np.ndarray,
+                   cfg: EngineConfig) -> list:
+    """Vectorized K.palette across an equal-length group.
+
+    Replicates the per-doc semantics exactly, including the tie rules:
+    parent selection orders by (saliency desc, cell asc) via stable argsort;
+    nearest-parent assignment breaks exact distance ties by saliency rank
+    (= first occurrence in the per-doc argmin over parents order).
+    Parity-tested row-for-row in tests/test_batch_kernels.py."""
+    m, n = g.shape
+    cells = cfg.hist_cells
+    nh, _, _ = K.cell_nominals(cfg)
+    D = K._distance_matrix(cfg)                          # (cells, cells)
+
+    # --- find_valid_parents, batched ---
+    sal = counts * _saliency_weights(cfg)[None, :]
+    order = np.argsort(-sal, axis=1, kind="stable")       # sal desc, cell asc
+    totals = counts.sum(axis=1)
+    goals = np.maximum(1, (totals * cfg.coverage_thresh).astype(np.int64))
+    c_sorted = np.take_along_axis(counts, order, axis=1)
+    cum_prev = np.cumsum(c_sorted, axis=1) - c_sorted
+    keep = cum_prev < goals[:, None]                      # (m, cells) in order-space
+
+    n_par = keep.sum(axis=1)                              # parents per row
+
+    # --- assign_parents: per-row argmin over the (112 x P) slice — same
+    # small op as the per-doc path (ties = first occurrence in saliency
+    # order, exactly K.assign_parents); everything downstream is batched ---
+    nearest_rank = np.empty((m, cells), dtype=np.int64)
+    for r in range(m):
+        pc = order[r, : n_par[r]]
+        nearest_rank[r] = np.argmin(D[:, pc], axis=1)
+    rank_of_tok = np.take_along_axis(nearest_rank, g, axis=1)       # (m, n)
+
+    # --- grouped circular-mean averages via offset bincounts ---
+    pmax = int(n_par.max()) if m else 0
+    flat_ids = (np.arange(m)[:, None] * pmax + rank_of_tok).ravel()
+    minlen = m * pmax
+    cnts = np.bincount(flat_ids, minlength=minlen).reshape(m, pmax)
+
+    # offsets per (row, rank): 180 - nominal hue of that rank's parent cell
+    # order[:, :pmax] are the parent cells in rank order (keep is a prefix)
+    offsets = 180.0 - nh[order[:, :pmax]]                 # (m, pmax)
+    tmp = h + np.take_along_axis(offsets, rank_of_tok, axis=1)
+    tmp = np.where(tmp > 360.0, tmp - 360.0, tmp)
+    tmp = np.where(tmp < 0.0, tmp + 360.0, tmp)
+    sum_h = np.bincount(flat_ids, weights=tmp.ravel(),
+                        minlength=minlen).reshape(m, pmax)
+    sum_s = np.bincount(flat_ids, weights=s.ravel(),
+                        minlength=minlen).reshape(m, pmax)
+    sum_v = np.bincount(flat_ids, weights=v.ravel(),
+                        minlength=minlen).reshape(m, pmax)
+
+    # vectorized averages (empty ranks -> all-zero entries, as per-doc)
+    inv_n = 1.0 / n
+    valid = cnts > 0
+    safe = np.maximum(cnts, 1)
+    h_avg = sum_h / safe - offsets
+    h_avg = np.where(h_avg < 0, h_avg + 360.0, h_avg)
+    h_avg = np.where(h_avg > 360.0, h_avg - 360.0, h_avg)
+    h_avg = np.where(valid, h_avg, 0.0)
+    s_avg = np.where(valid, sum_s / safe, 0.0)
+    v_avg = np.where(valid, sum_v / safe, 0.0)
+    pct = np.where(valid, cnts * inv_n, 0.0)
+
+    out = []
+    for r in range(m):
+        k = int(n_par[r])
+        out.append(list(zip(h_avg[r, :k].tolist(), s_avg[r, :k].tolist(),
+                            v_avg[r, :k].tolist(), pct[r, :k].tolist())))
+    return out
 
 
 def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
@@ -110,15 +214,8 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         ok = r0 > 0
         ac[ok, :k] = r[ok, :k] / r0[ok, None]
 
-    # bandpass energy via circular convolution theorem
-    bp = np.zeros((m, cfg.bandpass_filters))
-    if n >= 1:
-        H = _bandpass_rfft(n, cfg)               # (nfilt, nf)
-        Xf = np.fft.rfft(x, axis=1)              # (m, nf)
-        taps = cfg.bandpass_taps
-        for fi in range(cfg.bandpass_filters):
-            y = np.fft.irfft(Xf * H[fi][None, :], n=n, axis=1) / taps
-            bp[:, fi] = (y * y).mean(axis=1)
+    # bandpass energy: batched direct circular convolution
+    bp = _bandpass_energy_batch(x, cfg)
 
     # sharpness_avg: zero-padded [-1,2,-1] correlation, vectorized shifts
     filt = 2.0 * x
@@ -150,10 +247,9 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         prof = prof.reshape(m, na, nr)
     else:
         prof = np.zeros((m, na, nr))
+    pal_list = _palette_batch(h, s, v, g, counts, cfg)
     for i in range(m):
         peaks_list.append(K.spectral_peaks(prof[i], cfg))
-        pal_list.append(K.palette(h[i], s[i], v[i], cfg,
-                                  g=g[i], counts=counts[i]))
 
     return {
         "rms_mean": rms_mean, "rms_std": rms_std, "mean_norm_value": mean_norm,
