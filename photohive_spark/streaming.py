@@ -127,6 +127,38 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
+                            key: str, probe_ts: str, snapshot_ts: str,
+                            value_cols: list[str],
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming point-in-time serving: each incoming probe row is joined to
+    the latest snapshot (from a STATIC snapshot table) with
+    snapshot_ts <= probe_ts — the online analog of pit.asof_join.
+
+    Shape: stream-static left join on key + temporal predicate (the static
+    side broadcasts if small), then a watermarked groupBy over the probe's
+    identity taking max_by(payload, snapshot_ts). Zero temporal leakage by
+    the same predicate as the batch path; state is bounded by the watermark.
+    """
+    cmp = F.col(f"s.{snapshot_ts}") <= F.col(f"p.{probe_ts}")
+    probe_cols = [f.name for f in probe_stream.schema.fields]
+    payload = F.struct(F.col(f"s.{snapshot_ts}").alias("matched_ts"),
+                       *[F.col(f"s.{c}") for c in value_cols])
+    joined = (probe_stream.withWatermark(probe_ts, watermark).alias("p")
+              .join(snapshots.alias("s"),
+                    on=[F.col(f"p.{key}") == F.col(f"s.{key}"), cmp],
+                    how="left")
+              .select(*[F.col(f"p.{c}").alias(c) for c in probe_cols],
+                      payload.alias("_payload"),
+                      F.col(f"s.{snapshot_ts}").alias("_sts")))
+    agg = (joined.groupBy(*probe_cols)
+           .agg(F.max_by("_payload", "_sts").alias("_best")))
+    return agg.select(
+        *probe_cols,
+        F.col("_best.matched_ts").alias("matched_ts"),
+        *[F.col(f"_best.{c}").alias(c) for c in value_cols])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a stream with availableNow into a memory sink (test harness)."""
     q = (stream_df.writeStream.format("memory").queryName(name)

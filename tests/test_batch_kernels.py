@@ -60,3 +60,26 @@ def test_batch_not_slower():
             features_row(d, CFG)
         st = min(st, time.time() - t0)
     assert bt < st * 1.3, (bt, st)
+
+
+def test_nondefault_config_parity():
+    """Non-default hyperparameters flow through both kernel paths (catches
+    hardcoded 112-cell / 40-band / 72-angle assumptions)."""
+    cfg = EngineConfig(h_parts=10, s_parts=3, v_parts=4, radius_parts=20,
+                       angle_parts=36, autocorr_lags=8, bandpass_filters=4,
+                       frame_width=64, coverage_thresh=0.9)
+    rng = np.random.default_rng(31)
+    docs = [rng.integers(0, 50257, n, dtype=np.int32) for n in (50, 50, 200, 3)]
+    got = batch_extract(docs, cfg)
+    for i, t in enumerate(docs):
+        want = features_row(np.asarray(t, np.int32), cfg)
+        g = got[i]
+        assert g["hist_counts"] == want["hist_counts"], i
+        assert len(g["hist_counts"]) == cfg.hist_cells
+        assert len(g["spectrum_bands"]) == 20 and len(g["autocorr"]) == 8
+        assert g["spectral_peaks"] == want["spectral_peaks"], i
+        assert np.allclose(g["spectrum_bands"], want["spectrum_bands"], rtol=1e-9)
+        assert np.allclose(g["bandpass_energy"], want["bandpass_energy"], rtol=1e-7)
+        gp = [(p["h"], p["s"], p["v"], p["pct"]) for p in g["palette"]]
+        wp = [(p["h"], p["s"], p["v"], p["pct"]) for p in want["palette"]]
+        assert np.allclose(gp, wp, rtol=1e-9), i

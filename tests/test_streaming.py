@@ -88,3 +88,38 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
             for r in batch}
     for k, v in got.items():
         assert k in want and want[k] == v, (k, v, want.get(k))
+
+
+def test_asof_stream_static_matches_batch(spark, tmp_path):
+    """Streaming PIT serving == batch as-of join on the same data."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    t0 = dt.datetime(2026, 1, 1)
+    probes = [(f"d{int(k)}", t0 + dt.timedelta(seconds=int(s)), int(i))
+              for i, (k, s) in enumerate(zip(rng.integers(0, 6, 80),
+                                             rng.integers(0, 50_000, 80)))]
+    snaps = [(f"d{int(k)}", t0 + dt.timedelta(seconds=int(s)), float(x))
+             for k, s, x in zip(rng.integers(0, 5, 40),
+                                rng.integers(0, 50_000, 40),
+                                rng.normal(size=40))]
+    probes_df = spark.createDataFrame(
+        probes, "doc_id string, probe_ts timestamp, probe_id long")
+    snaps_df = spark.createDataFrame(
+        snaps, "doc_id string, snapshot_ts timestamp, feat double")
+
+    src = str(tmp_path / "probe_stream")
+    probes_df.repartition(2).write.parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id string, probe_ts timestamp, probe_id long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming.asof_join_stream_static(
+        stream, snaps_df, "doc_id", "probe_ts", "snapshot_ts", ["feat"])
+    streaming.run_to_memory(out, "asof_serve", mode="update")
+    got = {r.probe_id: (r.matched_ts, r.feat)
+           for r in spark.sql("select * from asof_serve").collect()}
+
+    want = {r.probe_id: (r.matched_ts, r.feat)
+            for r in pit.asof_join(probes_df, snaps_df, "doc_id", "probe_ts",
+                                   "snapshot_ts", ["feat"]).collect()}
+    assert len(got) == 80
+    assert got == want
