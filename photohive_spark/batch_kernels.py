@@ -28,13 +28,18 @@ from . import kernels as K
 from .config import DEFAULT_CONFIG, VOCAB_SIZE, EngineConfig
 
 
-@lru_cache(maxsize=4096)
-def _band_onehot(nf: int, nb: int) -> np.ndarray:
-    """(nf, nb) 0/1 matrix mapping frequency index -> band (matmul form of
-    the banded mean's bincount)."""
+def _banded_means(Pn: np.ndarray, nb: int) -> np.ndarray:
+    """Row-wise banded means of a (m, nf) spectrum via one offset bincount —
+    no cached (nf, nb) matrix (a 1M-token doc would make that ~160 MB), and
+    O(m*nf) instead of the one-hot matmul's O(m*nf*nb)."""
+    m, nf = Pn.shape
     r_bin = K._freq_band_ids(nf, nb)
-    out = np.zeros((nf, nb))
-    out[np.arange(nf), r_bin] = 1.0
+    ids = (r_bin[None, :] + (np.arange(m) * nb)[:, None]).ravel()
+    sums = np.bincount(ids, weights=Pn.ravel(), minlength=m * nb).reshape(m, nb)
+    quant = np.bincount(r_bin, minlength=nb)
+    out = np.zeros((m, nb))
+    nz = quant > 0
+    out[:, nz] = sums[:, nz] / quant[nz]
     return out
 
 
@@ -177,13 +182,18 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     rms_mean = x.mean(axis=1)
     rms_std = np.sqrt(np.var(x, axis=1))
 
-    h = 360.0 * (Tl % K.HUE_MOD) / float(K.HUE_MOD)
-    s = (Tl % K.SAT_MOD) / float(K.SAT_MOD)
-    v = Tl / float(VOCAB_SIZE)
+    # downsample applies to the hsv/histogram/palette path ONLY — the
+    # reference runs stats/FFT on the ORIGINAL image (src/interface.c:39-50);
+    # stride slicing keeps the group rectangular so batching is preserved
+    Td = Tl[:, ::cfg.downsample_rate] if cfg.downsample_rate > 1 else Tl
+    nd = Td.shape[1]
+    h = 360.0 * (Td % K.HUE_MOD) / float(K.HUE_MOD)
+    s = (Td % K.SAT_MOD) / float(K.SAT_MOD)
+    v = x if cfg.downsample_rate <= 1 else Td / float(VOCAB_SIZE)
     mean_norm = s.mean(axis=1)
 
     cells = cfg.hist_cells
-    g = K.hist_bin_ids(h.ravel(), s.ravel(), v.ravel(), cfg).reshape(m, n)
+    g = K.hist_bin_ids(h.ravel(), s.ravel(), v.ravel(), cfg).reshape(m, nd)
     offs = (np.arange(m) * cells)[:, None]
     counts = np.bincount((g + offs).ravel(),
                          minlength=m * cells).reshape(m, cells).astype(np.int64)
@@ -202,11 +212,7 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         Pn = _lognorm_rows(P)
         nf = P.shape[1]
         nbb = min(nb, nf)
-        B = _band_onehot(nf, nbb)
-        quant = B.sum(axis=0)
-        sums = Pn @ B
-        nz = quant > 0
-        bands[:, :nbb][:, nz] = sums[:, nz] / quant[nz]
+        bands[:, :nbb] = _banded_means(Pn, nbb)
 
         r = np.fft.irfft(P, n=n, axis=1)
         k = min(cfg.autocorr_lags, n)

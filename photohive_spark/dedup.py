@@ -122,7 +122,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .distinct()
             # materialize candidates once: verify_jaccard consumes them
             # twice (id semi-join + intersection join) and recomputing the
-            # whole LSH banding subtree per consumer doubles the cost
+            # whole LSH banding subtree per consumer doubles the cost.
+            # Storage-memory blocks are LRU-evictable, so repeated calls in
+            # a long-lived app degrade gracefully; call
+            # spark.catalog.clearCache() between sweeps to force release.
             .persist())
     return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 

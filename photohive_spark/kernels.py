@@ -225,7 +225,11 @@ def hist_bin_ids(h, s, v, cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
     g[gray] = gray_start + vi_gray
     Vi = ((v[color] - cfg.black_thresh) / cfg.Lv).astype(np.int64)
     Si = ((s[color] - cfg.gray_thresh) / cfg.Ls).astype(np.int64)
-    Hi = (h[color] / cfg.Lh).astype(np.int64)
+    # CANONICAL DEVIATION: when h_parts does not divide 360, Lh=360//h_parts
+    # leaves a remainder band h in [Lh*h_parts, 360) whose Hi would overflow
+    # (out-of-bounds UB in the reference C too; its default 18 divides 360).
+    # We clamp that band into the last hue bin.
+    Hi = np.minimum((h[color] / cfg.Lh).astype(np.int64), cfg.h_parts - 1)
     g[color] = (Hi * cfg.s_parts + Si) * cfg.v_parts + Vi
     return g
 
@@ -484,8 +488,8 @@ def spectrum_bands(x: np.ndarray, n_bands: int | None = None,
     return out
 
 
-@lru_cache(maxsize=4096)
-def _freq_band_ids(nf: int, nb: int) -> np.ndarray:
+@lru_cache(maxsize=64)          # bounded: entries are O(nf) — a 1M-token
+def _freq_band_ids(nf: int, nb: int) -> np.ndarray:  # doc's entry is ~4 MB
     """Frequency-index -> band-id LUT, cached per spectrum length — the
     analog of the reference's precomputed polar lookup table shared across
     equal-size FFTs (``src/blur_profile.c:19-23,427-458``)."""
@@ -532,7 +536,7 @@ def blur_profile_2d(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
     return prof.reshape(na, nr)
 
 
-@lru_cache(maxsize=1024)
+@lru_cache(maxsize=32)          # bounded: entries are O(fh*fw)
 def _polar_bin_ids(fh: int, fw: int, na: int, nr: int) -> np.ndarray:
     """Flattened (angle_bin*nr + radius_bin) key per FFT cell, cached per
     plane shape — the reference's shared Cartesian_To_Polar LUT

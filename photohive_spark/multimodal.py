@@ -83,7 +83,10 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                 meta = {k: r[k] for k in
                         ("meta_width", "meta_height",
                          "meta_sample_rate", "meta_n_frames")}
-                x = decode_stub(bytes(r["payload"]), r["kind"], meta, mode)
+                # null payload (upstream decode failure) must not kill the
+                # task — the deterministic fake of b"" yields a valid row
+                payload = b"" if r["payload"] is None else bytes(r["payload"])
+                x = decode_stub(payload, r["kind"], meta, mode)
                 mean, std = K.rms_stats(x)
                 out.append({
                     "media_id": r["media_id"],

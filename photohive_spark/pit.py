@@ -113,6 +113,9 @@ def asof_join_broadcast(probes: DataFrame, snapshots: DataFrame, key: str,
     cmp = (F.col(f"s.{snapshot_ts}") < F.col(f"p.{probe_ts}")) if strict else \
           (F.col(f"s.{snapshot_ts}") <= F.col(f"p.{probe_ts}"))
     probe_cols = [f.name for f in probes.schema.fields]
+    # unique row id so DUPLICATE probe rows survive the groupBy (two
+    # identical probes must yield two output rows, like asof_join)
+    probes = probes.withColumn("_rid", F.monotonically_increasing_id())
     pid = F.struct(*[F.col(f"p.{c}") for c in probe_cols]).alias("_probe")
     payload = F.struct(F.col(f"s.{snapshot_ts}").alias("matched_ts"),
                        *[F.col(f"s.{c}") for c in value_cols])
@@ -120,10 +123,12 @@ def asof_join_broadcast(probes: DataFrame, snapshots: DataFrame, key: str,
               .join(F.broadcast(snapshots.alias("s")),
                     on=[F.col(f"p.{key}") == F.col(f"s.{key}"), cmp],
                     how="left")
-              .select(pid, payload.alias("_payload"),
+              .select(F.col("p._rid").alias("_rid"), pid,
+                      payload.alias("_payload"),
                       F.col(f"s.{snapshot_ts}").alias("_sts")))
-    agg = (joined.groupBy("_probe")
-           .agg(F.max_by("_payload", "_sts").alias("_best")))
+    agg = (joined.groupBy("_rid")
+           .agg(F.first("_probe").alias("_probe"),
+                F.max_by("_payload", "_sts").alias("_best")))
     return agg.select(
         *[F.col(f"_probe.{c}").alias(c) for c in probe_cols],
         F.col("_best.matched_ts").alias("matched_ts"),

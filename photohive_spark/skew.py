@@ -43,12 +43,16 @@ def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict):
     ``aggs`` maps output name -> (partial_expr, final_fn) where partial_expr
     is applied in the salted stage and final_fn recombines. Example:
     ``{"cnt": (F.count("*"), F.sum), "total": (F.sum("x"), F.sum)}``.
+
+    The salt lives in its own column (never string-concatenated into the
+    key), so keys containing the salt separator can't be merged.
     """
-    salted = salt(df, key, buckets)
-    partial = salted.groupBy("_salted_key").agg(
+    salted = df.withColumn(
+        "_salt_bucket",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
+    partial = salted.groupBy(key, "_salt_bucket").agg(
         *[expr.alias(f"_p_{name}") for name, (expr, _) in aggs.items()])
     final = (partial
-             .withColumn(key, unsalt("_salted_key"))
              .groupBy(key)
              .agg(*[fn(F.col(f"_p_{name}")).alias(name)
                     for name, (_, fn) in aggs.items()]))
@@ -58,17 +62,19 @@ def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict):
 def rebalance_by_cost(df: DataFrame, cost_col: str = "n_tok",
                       num_partitions: int | None = None,
                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Range-repartition on a shuffled-within-cost-tier key so heavy rows
-    spread across partitions instead of clumping.
+    """Spread heavy rows across partitions so no task pins on the long tail.
 
-    ``repartitionByRange`` on (cost_bucket, random-ish hash) puts the
-    long-tail docs (n_tok >= cfg.long_tail_ntok) into their own key space,
-    striped across partitions; short docs pack densely. One shuffle, paid
-    only when the caller knows the downstream map is cost-skewed.
+    Hash-repartition on a per-row stripe key: each doc (heavy or light)
+    lands in a pseudo-random partition, so the handful of long-tail docs
+    (n_tok >= cfg.long_tail_ntok) are spread ~uniformly instead of
+    clumping wherever the input file layout put them. (A range partition
+    on a cost tier would do the OPPOSITE — sort all heavy rows into the
+    same final range.) One shuffle, paid only when the caller knows the
+    downstream map is cost-skewed; AQE cannot fix map-side cost skew
+    because row counts look balanced.
     """
     n = num_partitions or cfg.shuffle_partitions
-    tier = (F.col(cost_col) >= cfg.long_tail_ntok).cast("int")
-    return (df.withColumn("_tier", tier)
-              .withColumn("_stripe", F.pmod(F.hash("doc_id"), F.lit(n)))
-              .repartitionByRange(n, "_tier", "_stripe")
-              .drop("_tier", "_stripe"))
+    stripe = F.pmod(F.hash(F.col("doc_id"), F.col(cost_col)), F.lit(n))
+    return (df.withColumn("_stripe", stripe)
+              .repartition(n, "_stripe")
+              .drop("_stripe"))

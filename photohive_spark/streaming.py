@@ -106,12 +106,24 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
             start, last, n = ts_us[0], ts_us[0], 0
         out = []
         for t in ts_us:
+            if n > 0 and t < start - gap_us:
+                # late outlier older than the open session by > gap: it is
+                # its own (already-closed) session — emit a singleton.
+                # (Exact batch semantics for such stragglers would need the
+                # already-emitted history; this is the watermark tradeoff.)
+                out.append({"user_id": user_id,
+                            "session_start": pd.Timestamp(t, unit="us"),
+                            "session_end": pd.Timestamp(t, unit="us"),
+                            "n_events": 1})
+                continue
             if t - last > gap_us and n > 0:
                 out.append({"user_id": user_id,
                             "session_start": pd.Timestamp(start, unit="us"),
                             "session_end": pd.Timestamp(last, unit="us"),
                             "n_events": n})
                 start, n = t, 0
+            # late-but-within-gap events extend the open session backward
+            start = min(start, t)
             last = max(last, t)
             n += 1
         state.update((start, last, n))
@@ -139,6 +151,11 @@ def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
     side broadcasts if small), then a watermarked groupBy over the probe's
     identity taking max_by(payload, snapshot_ts). Zero temporal leakage by
     the same predicate as the batch path; state is bounded by the watermark.
+
+    NOTE: byte-identical duplicate probe rows collapse to one output row
+    (the groupBy key is the full probe row — a stable unique id can't be
+    minted inside a restartable stream). Give probes a unique id column
+    upstream if duplicates must be preserved.
     """
     cmp = F.col(f"s.{snapshot_ts}") <= F.col(f"p.{probe_ts}")
     probe_cols = [f.name for f in probe_stream.schema.fields]

@@ -1,0 +1,130 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from photohive_spark import kernels as K
+from photohive_spark.batch_kernels import batch_extract
+from photohive_spark.config import EngineConfig
+from photohive_spark.engine import features_row
+
+
+def test_batch_honors_downsample_rate():
+    """Finding 1: downsample_rate must reach the batch path's hsv/palette
+    stage (stats/FFT stay on the original sequence — src/interface.c:39-50)."""
+    cfg = EngineConfig(downsample_rate=3)
+    rng = np.random.default_rng(4)
+    docs = [rng.integers(0, 50257, n, dtype=np.int32) for n in (100, 100, 55)]
+    got = batch_extract(docs, cfg)
+    for i, t in enumerate(docs):
+        want = features_row(np.asarray(t, np.int32), cfg)
+        assert got[i]["hist_counts"] == want["hist_counts"], i
+        assert got[i]["mean_norm_value"] == pytest.approx(
+            want["mean_norm_value"], rel=1e-12), i
+        gp = [(p["h"], p["s"], p["v"], p["pct"]) for p in got[i]["palette"]]
+        wp = [(p["h"], p["s"], p["v"], p["pct"]) for p in want["palette"]]
+        assert np.allclose(gp, wp, rtol=1e-9), i
+        # FFT path must use the ORIGINAL sequence
+        assert np.allclose(got[i]["spectrum_bands"], want["spectrum_bands"],
+                           rtol=1e-9), i
+
+
+def test_hist_bin_ids_clamped_for_nondivisor_h_parts():
+    """Finding 2: h_parts that doesn't divide 360 must not overflow the
+    cell space (clamped into the last hue bin)."""
+    cfg = EngineConfig(h_parts=7)
+    rng = np.random.default_rng(9)
+    t = rng.integers(0, 50257, 5000, dtype=np.int32)
+    h, s, v = K.derive_hsv(t)
+    g = K.hist_bin_ids(h, s, v, cfg)
+    assert g.max() < cfg.hist_cells
+    # full pipelines run without crashing, and batch == per-doc
+    want = features_row(t, cfg)
+    got = batch_extract([t], cfg)[0]
+    assert got["hist_counts"] == want["hist_counts"]
+
+
+def test_asof_broadcast_keeps_duplicate_probes(spark):
+    """Finding 4: byte-identical duplicate probe rows must both survive."""
+    import datetime as dt
+    from photohive_spark import pit
+    t0 = dt.datetime(2026, 1, 1)
+    probes = spark.createDataFrame(
+        [("a", t0), ("a", t0), ("b", t0)],  # two identical probes for 'a'
+        "doc_id string, probe_ts timestamp")
+    snaps = spark.createDataFrame(
+        [("a", t0 - dt.timedelta(hours=1), 1.5)],
+        "doc_id string, snapshot_ts timestamp, feat double")
+    out = pit.asof_join_broadcast(probes, snaps, "doc_id", "probe_ts",
+                                  "snapshot_ts", ["feat"]).collect()
+    assert len(out) == 3
+    assert sorted((r.doc_id, r.feat) for r in out) == [
+        ("a", 1.5), ("a", 1.5), ("b", None)]
+
+
+def test_rebalance_spreads_heavy_docs(spark):
+    """Finding 5: long-tail docs must land in DIFFERENT partitions."""
+    import datetime as dt
+    from photohive_spark.skew import rebalance_by_cost
+    rows = ([(f"heavy{i}", [1] * 3, 100_000, "w", dt.datetime(2026, 1, 1))
+             for i in range(16)] +
+            [(f"light{i}", [1] * 3, 50, "w", dt.datetime(2026, 1, 1))
+             for i in range(200)])
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp")
+    out = rebalance_by_cost(df, num_partitions=16)
+    parts = (out.where(F.col("n_tok") == 100_000)
+             .select(F.spark_partition_id().alias("pid"))
+             .distinct().count())
+    assert parts >= 8, f"16 heavy docs in only {parts} partitions"
+
+
+def test_two_stage_agg_with_separator_in_key(spark):
+    """Finding 7: keys containing '#' must not merge."""
+    from photohive_spark.skew import two_stage_agg
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a#3", 10.0)], "k string, x double")
+    out = {r.k: (r.n, r.total)
+           for r in two_stage_agg(df, "k", buckets=4,
+                                  aggs={"n": (F.count("*"), F.sum),
+                                        "total": (F.sum("x"), F.sum)}).collect()}
+    assert out == {"a": (2, 3.0), "a#3": (1, 10.0)}
+
+
+def test_media_features_null_payload(spark):
+    """Finding 9: a null binary payload must not kill the task."""
+    from photohive_spark import multimodal
+    rows = [("m0", "image", None, 8, 8, None, None),
+            ("m1", "image", b"data", 8, 8, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.media_features(df).collect()}
+    assert len(got) == 2 and got["m0"].n_samples == 64
+
+
+def test_sessionize_stream_late_event_extends_start(spark, tmp_path):
+    """Finding 3: a late (within-watermark, within-gap) event older than the
+    open session's start must extend the session backward."""
+    import datetime as dt
+    from photohive_spark import streaming
+    t0 = dt.datetime(2026, 1, 1)
+    # file 1: 10:00:00 and 10:00:20; file 2 (late): 09:59:50; then a big gap
+    # event at 12:00 to close the session
+    f1 = [(1, t0.replace(hour=10)), (1, t0.replace(hour=10, second=20))]
+    f2 = [(1, t0.replace(hour=9, minute=59, second=50))]
+    f3 = [(1, t0.replace(hour=12))]
+    src = str(tmp_path / "late_stream")
+    for chunk in (f1, f2, f3):
+        (spark.createDataFrame(chunk, "user_id long, ts timestamp")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(
+        streaming.sessionize_stream(stream, gap_seconds=600,
+                                    watermark="2 hours"), "late_sess")
+    rows = spark.sql("select * from late_sess").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.session_start == t0.replace(hour=9, minute=59, second=50)
+    assert r.n_events == 3
