@@ -108,7 +108,9 @@ def q_top_customers(spark, sf_dir):
 
 
 def _probes_snaps(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")
+    # null keys excluded on BOTH sides: SQL equality joins (the oracle)
+    # never match NULL, while window-partition as-of would group them
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     probes = (ev.filter(F.col("event_type") == "click")
               .select("event_id", "user_id", F.col("ts").alias("probe_ts")))
     snaps = (ev.filter(F.col("event_type") == "purchase")
@@ -205,12 +207,13 @@ def q_moving_avg(spark, sf_dir):
 
 def q_tokenize(spark, sf_dir):
     toks = tokens_table(spark, sf_dir)
+    # try_element_at: null (not an ANSI error) on empty token arrays
     return toks.select(
         "doc_id", "n_tok",
         F.aggregate("tokens", F.lit(0).cast("bigint"),
                     lambda a, t: a + t).alias("token_sum"),
-        F.element_at("tokens", 1).alias("first_token"),
-        F.element_at("tokens", -1).alias("last_token"))
+        F.try_element_at("tokens", F.lit(1)).alias("first_token"),
+        F.try_element_at("tokens", F.lit(-1)).alias("last_token"))
 
 
 def q_validate(spark, sf_dir):
@@ -340,15 +343,23 @@ def q_hist(spark, sf_dir):
 
 
 def q_entropy_by_source(spark, sf_dir):
+    """Entropy summed via an ORDERED fold over the bin-sorted count array —
+    unordered double sums are partition-order-dependent and can flip the
+    6-dp rounding between engines (determinism rule #1)."""
     toks = tokens_table(spark, sf_dir)
     t = toks.select("source", F.explode("tokens").alias("t"))
     binned = t.select("source", F.expr(_BIN_SQL).alias("bin"))
     cnts = binned.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
-    tot = cnts.groupBy("source").agg(F.sum("cnt").alias("tot"))
-    p = cnts.join(tot, "source").select(
-        "source", (F.col("cnt") / F.col("tot")).alias("p"))
-    return (p.groupBy("source")
-            .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"))
+    arr = (cnts.groupBy("source")
+           .agg(F.sum("cnt").alias("tot"),
+                F.sort_array(F.collect_list(F.struct("bin", "cnt")))
+                 .alias("bins")))
+    ent = F.expr("""
+      -aggregate(bins, cast(0.0 as double),
+                 (a, b) -> a + (b.cnt / cast(tot as double))
+                             * ln(b.cnt / cast(tot as double)))
+    """)
+    return (arr.select("source", F.round(ent, 6).alias("entropy"))
             .orderBy("source"))
 
 
@@ -507,7 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
-        # rows-only (no oracle): kernel DAG + composite pipelines
+        # remaining entries: extract_features / feature_asof /
+        # embedding_neardup_lsh / ivf_topk / media_features /
+        # flatten_features are rows-only (no SQL-expressible oracle);
+        # lsh_topk DOES have an oracle (literal-hyperplane SQL)
         "extract_features": q_extract_features,
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
@@ -599,10 +613,11 @@ limit 10
 
     asof_base = """
 with probes as (
-  select event_id, user_id, ts as probe_ts from events where event_type = 'click'),
+  select event_id, user_id, ts as probe_ts from events
+  where event_type = 'click' and user_id is not null),
 snaps as (
   select user_id, ts as snapshot_ts, value as purchase_value
-  from events where event_type = 'purchase')
+  from events where event_type = 'purchase' and user_id is not null)
 select p.event_id, p.user_id, p.probe_ts,
        s.snapshot_ts as matched_ts, s.purchase_value
 from probes p asof left join snaps s
@@ -678,7 +693,7 @@ from events
 
     sql["tokenize"] = f"""
 select doc_id, cast(len(tokens) as int) as n_tok,
-       cast(list_sum(tokens) as bigint) as token_sum,
+       cast(coalesce(list_sum(tokens), 0) as bigint) as token_sum,
        tokens[1] as first_token, tokens[-1] as last_token
 from {_TOKENS}
 """
@@ -779,11 +794,16 @@ from tok group by 1 order by 1
 with tok as (select source, unnest(tokens) as t from {_TOKENS}),
   c as (select source, {bin_sql} as bin, count(*) as cnt
         from tok group by 1, 2),
-  tt as (select source, sum(cnt) as tot from c group by source),
-  p as (select c.source, cnt / cast(tot as double) as p
-        from c join tt on c.source = tt.source)
-select source, round(-sum(p * ln(p)), 6) as entropy
-from p group by source order by source
+  arr as (select source, sum(cnt) as tot,
+                 list_sort(list(struct_pack(bin := bin, cnt := cnt))) as bins
+          from c group by source)
+select source,
+  round(-list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(bins,
+            b -> (b.cnt / cast(tot as double))
+                 * ln(b.cnt / cast(tot as double)))),
+          (a, x) -> a + x), 6) as entropy
+from arr order by source
 """
 
     sql["topk_coverage"] = f"""
@@ -926,7 +946,6 @@ limit 10
 
     # lsh_topk: same 4 seeded hyperplanes as similarity.lsh_topk(n_planes=4),
     # inlined as literals; identical sequential dot-product folds
-    import numpy as np
     planes = similarity.hyperplanes(64, 4, seed=42)
 
     def _duck_dot(vec_sql: str, plane) -> str:

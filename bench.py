@@ -34,6 +34,14 @@ HEADLINE = ["extract_features", "asof_join", "sessionize", "minhash_lsh",
             "similarity_topk", "hist", "rms_stats", "feature_asof"]
 
 
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.0  # custom data dir without an sf tag
+
+
 def _get_spark(cpus: int):
     from photohive_spark.session import get_spark
     return get_spark(app="photohive-bench", master=f"local[{cpus}]",
@@ -48,9 +56,10 @@ def _prepare_tokens(spark, sf_dir: str) -> str:
     import pyspark.sql.functions as F
     from photohive_spark.tokenize import tokens_table
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf = _sf_of(sf_dir)
     path = f"/tmp/photohive_bench/tokens_sf{sf}_x{REPLICATE}.parquet"
-    if not os.path.isdir(path):
+    # _SUCCESS check: an interrupted write must not poison later benches
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         toks = tokens_table(spark, sf_dir)
         if REPLICATE > 1:
             rep = F.explode(F.array(*[F.lit(i) for i in range(REPLICATE)]))
@@ -64,7 +73,7 @@ def _prepare_tokens(spark, sf_dir: str) -> str:
     return path
 
 
-def _flagship_df(spark, sf_dir: str, cpus: int):
+def _flagship_df(spark, sf_dir: str):
     from photohive_spark.engine import extract_features_df
 
     toks = spark.read.parquet(_prepare_tokens(spark, sf_dir))
@@ -79,7 +88,7 @@ def run_flagship(cpus: int, sf_dir: str = SF_DIR) -> dict:
     spark = _get_spark(cpus)
     spark.range(1).count()
     rows = spark.read.parquet(_prepare_tokens(spark, sf_dir)).count()
-    df = _flagship_df(spark, sf_dir, cpus)
+    df = _flagship_df(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()        # warm pass
     wall = float("inf")
     for _ in range(3):                                      # best-of-3
@@ -103,7 +112,7 @@ def run_headline() -> dict:
 
     def once(name):
         if name == "extract_features":
-            df = _flagship_df(spark, SF_DIR, CPUS)
+            df = _flagship_df(spark, SF_DIR)
         else:
             df = qs[name](spark, SF_DIR)
         t0 = time.time()
@@ -117,9 +126,8 @@ def run_headline() -> dict:
         out[name] = round(dt, 3)
         total += dt
     spark.stop()
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {"metric": "headline_suite_wall", "value": round(total, 3),
-            "unit": "sec", "queries": out, "sf": float(sf),
+            "unit": "sec", "queries": out, "sf": _sf_of(SF_DIR),
             "feature_vectors_per_sec": fv_per_sec, "cpus": CPUS,
             "replicate": REPLICATE}
 
@@ -184,7 +192,7 @@ def run_scaling() -> dict:
             "spark_vs_hardware_ceiling": round(eff_8_32 / hw_ceiling, 3),
             "runs": {str(k): v for k, v in results.items()},
             "hw_control_rows_per_s": {"8": round(hw8, 1), "32": round(hw32, 1)},
-            "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
+            "sf": _sf_of(SF_DIR)}
 
 
 if __name__ == "__main__":

@@ -9,11 +9,13 @@ Usage (multi-executor cluster — the sandbox runs the same command with
       --conf spark.sql.adaptive.enabled=true \\
       jobs/run_pipeline.py \\
       --tokens /path/to/tokens_parquet --output /path/to/features \\
-      --n-buckets 1024 [--resume] [--min-tok 350] [--max-tok 120000000]
+      --n-buckets 1024 [--rebalance] [--min-tok 350] [--max-tok 120000000]
 
-The job is resumable: completed buckets (atomic per-bucket manifests under
-<output>/_lineage/) are skipped on re-run; per-partition lineage + wall
-metrics land in the manifest. Prints one JSON line with run totals.
+Resume is IMPLICIT: re-running the same command skips completed buckets
+(atomic per-bucket manifests under <output>/_lineage/); n_buckets is
+pinned by the output dir's meta.json — changing it on resume is rejected.
+Per-partition lineage + wall metrics land in the manifest. Prints one
+JSON line with run totals.
 """
 
 from __future__ import annotations

@@ -55,6 +55,22 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
     most one bucket of work.
     """
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    # pin n_buckets for the lifetime of this output dir: bucket membership
+    # pmod(xxhash64, n) changes with n, so resuming under a different n
+    # would silently drop and duplicate rows
+    meta_path = os.path.join(out_dir, "_lineage", "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            recorded = json.load(fh)["n_buckets"]
+        if recorded != n_buckets:
+            raise ValueError(
+                f"{out_dir} was started with n_buckets={recorded}; resuming "
+                f"with n_buckets={n_buckets} would corrupt bucket membership")
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        os.replace(tmp, meta_path)
     done = completed_buckets(out_dir)
     written = []
     staged = df.withColumn("_bucket", bucket_of(key_col, n_buckets))
