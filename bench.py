@@ -31,7 +31,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
 
 HEADLINE = ["extract_features", "asof_join", "sessionize", "minhash_lsh",
-            "similarity_topk", "hist", "rms_stats", "feature_asof"]
+            "similarity_topk", "hist", "rms_stats", "feature_asof",
+            "dedup_exact", "quality", "simhash", "tpch_pricing"]
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -105,10 +105,11 @@ def asof_join_broadcast(probes: DataFrame, snapshots: DataFrame, key: str,
                         value_cols: list[str], strict: bool = False) -> DataFrame:
     """Broadcast variant for small snapshot sides (dimension-like).
 
-    BroadcastHashJoin on key with the temporal predicate, then
-    max_by(payload, snapshot_ts) per probe row — no shuffle of the probe
-    side at all (aggregation keys on the probe's unique id are co-located
-    by AQE / partial agg).
+    BroadcastHashJoin on key with the temporal predicate (no shuffle for
+    the JOIN — the snapshot side broadcasts), then max_by(payload,
+    snapshot_ts) per probe row. The aggregation costs one hash exchange of
+    the joined rows on the probe row id — uniformly distributed, so unlike
+    the union+window variant it is immune to hot-KEY skew.
     """
     cmp = (F.col(f"s.{snapshot_ts}") < F.col(f"p.{probe_ts}")) if strict else \
           (F.col(f"s.{snapshot_ts}") <= F.col(f"p.{probe_ts}"))
