@@ -614,6 +614,26 @@ def spectral_peaks(profile: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
     return out
 
 
+def blur_profile_visual(profile: np.ndarray, fh: int, fw: int,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Inverse render of the (angle x radius) bins back onto an FFT plane —
+    ``get_blur_profile_visual`` (``src/blur_profile.c:140-180``), dev/viz
+    only: each plane cell takes its bin's value via the same polar LUT the
+    forward pass used, so render(bin(plane)) is piecewise-constant."""
+    prof = np.asarray(profile, dtype=np.float64)
+    na, nr = prof.shape
+    flat = _polar_bin_ids(fh, fw, na, nr)
+    return prof.ravel()[flat].reshape(fh, fw)
+
+
+def fft_shift(plane: np.ndarray) -> np.ndarray:
+    """Quadrant swap to centered full-plane view — the reference's
+    ``fft_shift`` intent (``src/fft_processing.c:111-157``; its stride math
+    is buggy and dev-only, SURVEY §2.8). We implement the documented intent
+    via np.fft.fftshift; not used in the feature pipeline."""
+    return np.fft.fftshift(np.asarray(plane, dtype=np.float64))
+
+
 def blur_direction_response(profile: np.ndarray,
                             peaks: list[tuple[int, float]],
                             cfg: EngineConfig = DEFAULT_CONFIG

@@ -303,3 +303,26 @@ def test_c_test_harness_config_variant():
     p_lo = K.spectral_peaks(prof, EngineConfig(fft_streak_thresh=1.15))
     p_hi = K.spectral_peaks(prof, EngineConfig(fft_streak_thresh=1.20))
     assert len(p_lo) == 1 and len(p_hi) == 0
+
+
+def test_blur_profile_visual_roundtrip():
+    """render(bin(plane)) is constant within each polar bin: re-binning the
+    rendered plane returns exactly the profile (for non-empty bins)."""
+    rng = np.random.default_rng(12)
+    x = rng.random(600)
+    prof = K.blur_profile_2d(x, CFG)
+    w = min(600, CFG.frame_width)
+    hh = 600 // w
+    fh, fw = hh, w // 2 + 1
+    plane = K.blur_profile_visual(prof, fh, fw, CFG)
+    assert plane.shape == (fh, fw)
+    flat = K._polar_bin_ids(fh, fw, CFG.angle_parts, CFG.radius_parts)
+    for bin_id in np.unique(flat):
+        vals = plane.ravel()[flat == bin_id]
+        assert (vals == prof.ravel()[bin_id]).all()
+
+
+def test_fft_shift_center():
+    p = np.zeros((4, 6)); p[0, 0] = 1.0   # DC at corner
+    s = K.fft_shift(p)
+    assert s[2, 3] == 1.0                 # DC moved to center
