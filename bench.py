@@ -57,8 +57,11 @@ def _prepare_tokens(spark, sf_dir: str) -> str:
     import pyspark.sql.functions as F
     from photohive_spark.tokenize import tokens_table
 
-    sf = _sf_of(sf_dir)
-    path = f"/tmp/photohive_bench/tokens_sf{sf}_x{REPLICATE}.parquet"
+    import re
+    # cache key derived from the full dir path — two datasets must never
+    # share a cache entry (a bare sf float would collide untagged dirs)
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    path = f"/tmp/photohive_bench/tokens_{tag}_x{REPLICATE}.parquet"
     # _SUCCESS check: an interrupted write must not poison later benches
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         toks = tokens_table(spark, sf_dir)

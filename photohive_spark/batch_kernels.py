@@ -62,8 +62,10 @@ def _bandpass_energy_batch(x: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     else:
         coefs, k = bank, taps
     pad = np.concatenate([x[:, -(k - 1):], x], axis=1) if k > 1 else x
-    if n <= 4096:
-        # short rows: one true GEMM for every row x filter at once
+    # GEMM path only while the materialized (m, n, k) window tensor stays
+    # small (<=256 MB): a 10k-row Arrow batch of 4096-token docs would
+    # otherwise allocate ~5 GB per worker
+    if n <= 4096 and m * n * k * 8 <= 256_000_000:
         win = np.ascontiguousarray(sliding_window_view(pad, k, axis=1))
         y = win.reshape(m * n, k) @ (coefs[:, ::-1].T / taps)  # (m*n, nfilt)
         y = y.reshape(m, n, nfilt)

@@ -1,15 +1,18 @@
-"""Skew handling: salting + cost-aware repartitioning.
+"""Skew handling: salted aggregation + cost-aware row spreading.
 
 North_rule demands explicit skew handling for the long-tail ``n_tok``
 distribution (feature-extraction cost is O(n_tok log n_tok), so a handful
 of million-token docs can pin one task while thousands of short docs
 finish). Two tools:
 
-- ``salt``/``unsalt``: classic key salting for hot groupBy/join keys;
-- ``rebalance_by_cost``: repartitionByRange on a *cost proxy* column so
-  each partition carries roughly equal work, not equal rows — the
-  distributed analog of the reference's single-image threading setup
-  (``src/utilities.c:127-129``) which has no multi-item balancing at all.
+- ``two_stage_agg``: salted partial+final aggregation for hot groupBy keys
+  (the salt lives in its own column — never string-concatenated into the
+  key, so keys containing any separator are safe);
+- ``rebalance_by_cost``: hash-repartition that spreads heavy rows
+  uniformly across partitions before a cost-skewed map stage.
+
+The reference has no multi-item balancing at all (single-image threading
+setup, ``src/utilities.c:127-129``).
 """
 
 from __future__ import annotations
@@ -20,32 +23,12 @@ import pyspark.sql.functions as F
 from .config import DEFAULT_CONFIG, EngineConfig
 
 
-def salt(df: DataFrame, key: str, buckets: int,
-         salted_name: str = "_salted_key") -> DataFrame:
-    """Append a deterministic salt to a hot key: ``key || '#' || pmod(hash(
-    monotonically_increasing_id), buckets)``. Aggregations then run
-    two-stage: groupBy(salted) partial -> groupBy(key) final."""
-    return df.withColumn(
-        salted_name,
-        F.concat_ws("#", F.col(key),
-                    F.pmod(F.hash(F.monotonically_increasing_id()),
-                           F.lit(buckets)).cast("string")))
-
-
-def unsalt(col_name: str):
-    """Recover the original key from a salted key column."""
-    return F.substring_index(F.col(col_name), "#", 1)
-
-
 def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict):
     """Salted two-stage aggregation for additive aggregates.
 
     ``aggs`` maps output name -> (partial_expr, final_fn) where partial_expr
     is applied in the salted stage and final_fn recombines. Example:
     ``{"cnt": (F.count("*"), F.sum), "total": (F.sum("x"), F.sum)}``.
-
-    The salt lives in its own column (never string-concatenated into the
-    key), so keys containing the salt separator can't be merged.
     """
     salted = df.withColumn(
         "_salt_bucket",
@@ -64,17 +47,18 @@ def rebalance_by_cost(df: DataFrame, cost_col: str = "n_tok",
                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Spread heavy rows across partitions so no task pins on the long tail.
 
-    Hash-repartition on a per-row stripe key: each doc (heavy or light)
-    lands in a pseudo-random partition, so the handful of long-tail docs
-    (n_tok >= cfg.long_tail_ntok) are spread ~uniformly instead of
-    clumping wherever the input file layout put them. (A range partition
-    on a cost tier would do the OPPOSITE — sort all heavy rows into the
-    same final range.) One shuffle, paid only when the caller knows the
-    downstream map is cost-skewed; AQE cannot fix map-side cost skew
-    because row counts look balanced.
+    Hash-repartition on a full-width per-row key (hash of doc_id + cost —
+    NOT pre-modded to n values, which would double-hash n balls into n bins
+    and leave ~1/e of partitions empty): each doc lands in a pseudo-random
+    partition, so long-tail docs (n_tok >= cfg.long_tail_ntok) spread
+    ~uniformly instead of clumping wherever the input file layout put them.
+    (A range partition on a cost tier would do the OPPOSITE — sort all
+    heavy rows into the same final range.) One shuffle, paid only when the
+    caller knows the downstream map is cost-skewed; AQE cannot fix map-side
+    cost skew because row counts look balanced.
     """
     n = num_partitions or cfg.shuffle_partitions
-    stripe = F.pmod(F.hash(F.col("doc_id"), F.col(cost_col)), F.lit(n))
+    stripe = F.hash(F.col("doc_id"), F.col(cost_col))
     return (df.withColumn("_stripe", stripe)
               .repartition(n, "_stripe")
               .drop("_stripe"))

@@ -105,17 +105,26 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
         else:
             start, last, n = ts_us[0], ts_us[0], 0
         out = []
-        for t in ts_us:
-            if n > 0 and t < start - gap_us:
-                # late outlier older than the open session by > gap: it is
-                # its own (already-closed) session — emit a singleton.
-                # (Exact batch semantics for such stragglers would need the
-                # already-emitted history; this is the watermark tradeoff.)
-                out.append({"user_id": user_id,
-                            "session_start": pd.Timestamp(t, unit="us"),
-                            "session_end": pd.Timestamp(t, unit="us"),
-                            "n_events": 1})
-                continue
+        # stragglers older than the open session by > gap can never merge
+        # with it; sessionize them among THEMSELVES with the same gap rule
+        # and emit (exact batch semantics within what's in hand — merging
+        # with already-emitted history is the watermark tradeoff)
+        stragglers = [t for t in ts_us if n > 0 and t < start - gap_us]
+        ts_live = ts_us[len(stragglers):]
+        while stragglers:
+            s0 = e0 = stragglers[0]
+            cnt = 1
+            for t in stragglers[1:]:
+                if t - e0 > gap_us:
+                    break
+                e0 = t
+                cnt += 1
+            out.append({"user_id": user_id,
+                        "session_start": pd.Timestamp(s0, unit="us"),
+                        "session_end": pd.Timestamp(e0, unit="us"),
+                        "n_events": cnt})
+            stragglers = stragglers[cnt:]
+        for t in ts_live:
             if t - last > gap_us and n > 0:
                 out.append({"user_id": user_id,
                             "session_start": pd.Timestamp(start, unit="us"),

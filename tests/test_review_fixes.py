@@ -128,3 +128,30 @@ def test_sessionize_stream_late_event_extends_start(spark, tmp_path):
     r = rows[0]
     assert r.session_start == t0.replace(hour=9, minute=59, second=50)
     assert r.n_events == 3
+
+
+def test_sessionize_stream_late_cluster_merges(spark, tmp_path):
+    """Second-pass finding: multiple same-batch stragglers within gap of
+    EACH OTHER must form one session, not singletons."""
+    import datetime as dt
+    from photohive_spark import streaming
+    t0 = dt.datetime(2026, 1, 1)
+    f1 = [(1, t0.replace(hour=10)), (1, t0.replace(hour=10, second=20))]
+    # two stragglers at 08:00 and 08:05, within 10-min gap of each other
+    f2 = [(1, t0.replace(hour=8)), (1, t0.replace(hour=8, minute=5))]
+    f3 = [(1, t0.replace(hour=12))]
+    src = str(tmp_path / "late_cluster")
+    for chunk in (f1, f2, f3):
+        (spark.createDataFrame(chunk, "user_id long, ts timestamp")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(
+        streaming.sessionize_stream(stream, gap_seconds=600,
+                                    watermark="4 hours"), "late_cluster")
+    rows = sorted(spark.sql("select * from late_cluster").collect(),
+                  key=lambda r: r.session_start)
+    # one merged straggler session [08:00, 08:05] x2 events, then the
+    # 10:00 session closed by the 12:00 event
+    assert [(r.session_start.hour, r.session_start.minute, r.n_events)
+            for r in rows] == [(8, 0, 2), (10, 0, 2)]
