@@ -150,10 +150,17 @@ def q_asof_join_salted(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN variant (coarse-quantized cells, n_probe=3 of 8)."""
+    """IVF ANN variant (coarse-quantized cells, n_probe=3 of 8).
+
+    Centroids are the seeded unit hyperplanes (data-independent) so the
+    DuckDB oracle can inline them as literals — the k-means-trained
+    centroid path (ivf_centroids_from_sample) is exercised by
+    tests/test_pipeline_ops.py instead."""
     emb = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0].embedding]
-    return similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+    cents = similarity.unit_hyperplanes(64, 8, seed=7)
+    return similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3,
+                               centroids=cents)
 
 
 def q_salted_agg(spark, sf_dir):
@@ -433,21 +440,56 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 # ---- non-SQL-expressible (rows-only driver check) ----
+#
+# The driver canonicalizes query output with pandas sort_values over ALL
+# columns; array columns are Python lists there and crash factorize
+# (r1 `unhashable type: 'list'` errs). Driver-facing rows-only entries
+# therefore project every array column to a deterministic sha2(to_json(...))
+# digest; the full-array frames remain available via entry() and the engine
+# API (tests cover them directly).
+
+def _digest(*cols: str) -> F.Column:
+    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+
 
 def q_extract_features(spark, sf_dir):
-    return extract_features_df(tokens_table(spark, sf_dir), CFG)
+    feats = extract_features_df(tokens_table(spark, sf_dir), CFG)
+    return feats.select(
+        "doc_id", "n_tok", "source", "event_ts",
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("rms_std", 6).alias("rms_std"),
+        F.round("mean_norm_value", 6).alias("mean_norm_value"),
+        F.round("hist_entropy", 6).alias("hist_entropy"),
+        F.round("sharpness_avg", 6).alias("sharpness_avg"),
+        _digest("tokens", "hist_counts", "palette", "spectrum_bands",
+                "spectral_peaks", "autocorr", "bandpass_energy")
+        .alias("arrays_digest"))
 
 
 def q_feature_asof(spark, sf_dir):
     """Full PIT pipeline: snapshots of DSP features as-of joined to probes
-    1h after each doc's event_ts (zero-leakage)."""
+    1h after each doc's event_ts (zero-leakage).
+
+    Oracle-checked: timestamps are emitted as seconds relative to the
+    epoch anchor (tz-free on both engines) and the two payload features
+    (rms_mean, hist_entropy) are 6-dp rounded — they are the two kernel
+    outputs DuckDB can recompute exactly-enough in SQL."""
     toks = tokens_table(spark, sf_dir)
     snaps = feature_snapshots(toks, n_snapshots=1, cfg=CFG) \
         .select("doc_id", "snapshot_ts", "rms_mean", "hist_entropy")
     probes = toks.select(
         "doc_id", (F.col("event_ts") + F.expr("interval 1 hour")).alias("probe_ts"))
-    return pit.asof_join(probes, snaps, "doc_id", "probe_ts", "snapshot_ts",
-                         ["rms_mean", "hist_entropy"])
+    out = pit.asof_join(probes, snaps, "doc_id", "probe_ts", "snapshot_ts",
+                        ["rms_mean", "hist_entropy"])
+    anchor = F.to_timestamp(F.lit("2026-01-01 00:00:00")) \
+              .cast("timestamp_ltz").cast("long")
+    rel = lambda c: (F.col(c).cast("timestamp_ltz").cast("long") - anchor)
+    return out.select(
+        "doc_id",
+        rel("probe_ts").alias("probe_rel_s"),
+        rel("matched_ts").alias("matched_rel_s"),
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("hist_entropy", 6).alias("hist_entropy"))
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -463,10 +505,16 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def q_flatten_features(spark, sf_dir):
-    """Fixed-width padded feature vector (reference to_json analog)."""
+    """Fixed-width padded feature vector (reference to_json analog).
+    The fvec array is digested for the driver's canonicalizer (see above);
+    its width is asserted so padding regressions still surface here."""
     from photohive_spark.engine import flatten_features
-    return flatten_features(
+    flat = flatten_features(
         extract_features_df(tokens_table(spark, sf_dir).limit(100), CFG))
+    return flat.select(
+        "doc_id", "event_ts", "n_tok", "source",
+        F.size("fvec").alias("fvec_len"),
+        _digest("fvec").alias("fvec_digest"))
 
 
 def q_media_features(spark, sf_dir):
@@ -479,7 +527,13 @@ def q_media_features(spark, sf_dir):
         F.lit(16).alias("meta_width"), F.lit(16).alias("meta_height"),
         F.lit(None).cast("int").alias("meta_sample_rate"),
         F.lit(None).cast("int").alias("meta_n_frames"))
-    return multimodal.media_features(media)
+    out = multimodal.media_features(media)
+    return out.select(
+        "media_id", "kind", "n_samples",
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("rms_std", 6).alias("rms_std"),
+        F.round("sharpness_avg", 6).alias("sharpness_avg"),
+        _digest("spectrum_bands").alias("spectrum_digest"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -518,10 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
-        # remaining entries: extract_features / feature_asof /
-        # embedding_neardup_lsh / ivf_topk / media_features /
-        # flatten_features are rows-only (no SQL-expressible oracle);
-        # lsh_topk DOES have an oracle (literal-hyperplane SQL)
+        # rows-only (no SQL-expressible oracle): extract_features /
+        # media_features / flatten_features (FFT + palette kernels are not
+        # SQL-expressible; arrays are digested for the driver canonicalizer).
+        # feature_asof / lsh_topk / embedding_neardup_lsh / ivf_topk all
+        # HAVE exact oracles (DuckDB ASOF JOIN / literal hyperplanes /
+        # literal centroids).
         "extract_features": q_extract_features,
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
@@ -589,13 +645,19 @@ def oracle_sql() -> dict[str, str]:
     bin_sql = _BIN_SQL
     sql = {}
 
+    # NOTE: every integer sum() is wrapped cast(sum(...) as bigint) — DuckDB
+    # sum(BIGINT) returns HUGEINT, which fetchdf() converts to float64 and
+    # the driver's exact value-hash then mismatches Spark's int64 (r1 root
+    # cause for 6 hash-fails).
     sql["tpch_pricing"] = """
 select l_returnflag, l_linestatus,
-  sum(cast(l_quantity as bigint)) as sum_qty,
-  sum(cast(round(l_extendedprice * 100) as bigint)) as sum_base_cents,
-  sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as sum_disc_cents,
+  cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) as sum_base_cents,
+  cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint)
+    as sum_disc_cents,
   count(*) as count_order,
-  round(sum(cast(l_quantity as bigint)) / cast(count(*) as double), 6) as avg_qty
+  round(cast(sum(cast(l_quantity as bigint)) as bigint)
+        / cast(count(*) as double), 6) as avg_qty
 from lineitem
 where l_shipdate <= timestamp '2024-06-01'
 group by l_returnflag, l_linestatus
@@ -604,7 +666,7 @@ order by l_returnflag, l_linestatus
 
     sql["top_customers"] = """
 select c_custkey, c_mktsegment, count(*) as n_orders,
-       sum(cast(round(o_totalprice * 100) as bigint)) as revenue_cents
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) as revenue_cents
 from orders join customer on o_custkey = c_custkey
 group by c_custkey, c_mktsegment
 order by revenue_cents desc, c_custkey asc
@@ -630,7 +692,7 @@ from probes p asof left join snaps s
 
     sql["salted_agg"] = """
 select event_type, count(*) as n,
-       sum(cast(round(value * 100) as bigint)) as value_cents
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) as value_cents
 from events group by event_type
 """
 
@@ -658,9 +720,9 @@ with g as (
          then 1 else 0 end as is_new
   from events)
 select event_id, user_id,
-  sum(is_new) over (partition by user_id order by ts
-                    rows between unbounded preceding and current row) - 1
-    as session_id
+  cast(sum(is_new) over (partition by user_id order by ts
+                         rows between unbounded preceding and current row) - 1
+       as bigint) as session_id
 from g
 """
 
@@ -674,9 +736,9 @@ with g as (
   from events),
 s as (
   select user_id, ts,
-    sum(is_new) over (partition by user_id order by ts
-                      rows between unbounded preceding and current row) - 1
-      as session_id
+    cast(sum(is_new) over (partition by user_id order by ts
+                           rows between unbounded preceding and current row) - 1
+         as bigint) as session_id
   from g)
 select user_id, session_id, count(*) as n_events,
        round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6) as duration_s
@@ -811,9 +873,9 @@ with tok as (select unnest(tokens) as t from {_TOKENS}),
   hist as (select {bin_sql} as bin, count(*) as cnt from tok group by 1),
   tot as (select sum(cnt) as total from hist),
   c as (select bin, cnt,
-          sum(cnt) over (order by cnt desc, bin asc
-                         rows between unbounded preceding and current row)
-            as cum
+          cast(sum(cnt) over (order by cnt desc, bin asc
+                              rows between unbounded preceding and current row)
+               as bigint) as cum
         from hist)
 select bin, cnt, cum from c, tot
 where cum - cnt < cast(floor(0.95 * total) as bigint)
@@ -985,6 +1047,105 @@ with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
 select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cosine
 from e a join e b on a.vec_id < b.vec_id
 where {cos} >= 0.3
+"""
+
+    # ---- feature_asof: DuckDB ASOF JOIN over SQL-recomputed kernel
+    # features. Timestamps are relative seconds (tz-free): event_ts is
+    # epoch-anchor + doc_id*37s by construction (tokenize.tokens_table), so
+    # snap_rel_s = doc_id*37 and probe_rel_s = doc_id*37 + 3600 exactly.
+    # rms_mean/hist_entropy are sequential folds matching the kernel at 6dp.
+    sql["feature_asof"] = f"""
+with tok as (select doc_id, cast(doc_id as bigint) * 37 as snap_rel_s, tokens
+             from {_TOKENS}),
+  u as (select doc_id, unnest(tokens) as t from tok),
+  cnts as (select doc_id, {bin_sql} as bin, count(*) as cnt
+           from u group by 1, 2),
+  ents as (select doc_id, sum(cnt) as tot,
+                  list_sort(list(struct_pack(bin := bin, cnt := cnt))) as bins
+           from cnts group by doc_id),
+  feats as (
+    select tok.doc_id, tok.snap_rel_s,
+      case when len(tokens) = 0 then 0.0
+           else list_reduce(list_prepend(cast(0.0 as double),
+                  list_transform(tokens,
+                    x -> cast(x as double) / cast({VOCAB_SIZE} as double))),
+                  (a, b) -> a + b) / cast(len(tokens) as double) end as rms_mean,
+      coalesce(-list_reduce(list_prepend(cast(0.0 as double),
+                 list_transform(e.bins,
+                   b -> (b.cnt / cast(e.tot as double))
+                        * ln(b.cnt / cast(e.tot as double)))),
+                 (a, x2) -> a + x2), 0.0) as hist_entropy
+    from tok left join ents e on tok.doc_id = e.doc_id),
+  probes as (select doc_id, snap_rel_s + 3600 as probe_rel_s from feats)
+select p.doc_id, p.probe_rel_s, f.snap_rel_s as matched_rel_s,
+       round(f.rms_mean, 6) as rms_mean,
+       round(f.hist_entropy, 6) as hist_entropy
+from probes p asof left join feats f
+  on p.doc_id = f.doc_id and p.probe_rel_s >= f.snap_rel_s
+"""
+
+    # ---- embedding_neardup_lsh: same 3 tables x 8 seeded hyperplanes as
+    # dedup.embedding_neardup_lsh defaults, inlined as literals (the
+    # lsh_topk precedent); candidate join on (table, bucket), exact verify.
+    ndl_keyed = " union all ".join(
+        "select vec_id, v, {t} as tbl, cast({b} as bigint) as bkt from e".format(
+            t=t,
+            b=" + ".join(
+                f"(case when {_duck_dot('v', p)} > 0 then {1 << j} else 0 end)"
+                for j, p in enumerate(
+                    similarity.hyperplanes(64, 8, seed=42 + 1000 * t))))
+        for t in range(3))
+    sql["embedding_neardup_lsh"] = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+  keyed as ({ndl_keyed}),
+  cand as (
+    select distinct a.vec_id as id_a, b.vec_id as id_b, {cos} as cos
+    from keyed a join keyed b
+      on a.tbl = b.tbl and a.bkt = b.bkt and a.vec_id < b.vec_id)
+select distinct id_a, id_b, round(cos, 6) as cosine
+from cand where cos >= 0.3
+"""
+
+    # ---- ivf_topk: the seeded unit-hyperplane centroids of q_ivf_topk as
+    # VALUES literals; assignment = max(struct(cosine, cell)) replicating
+    # Spark's F.greatest struct tie-break (equal s -> larger cell).
+    def _cos2(lhs: str, rhs: str) -> str:
+        d = (f"list_reduce(list_prepend(cast(0.0 as double), "
+             f"list_transform(range(1, 65), i -> {lhs}[i] * {rhs}[i])), "
+             f"(x, y) -> x + y)")
+        nl = (f"sqrt(list_reduce(list_prepend(cast(0.0 as double), "
+              f"list_transform({lhs}, x -> x * x)), (p2, q2) -> p2 + q2))")
+        nr = (f"sqrt(list_reduce(list_prepend(cast(0.0 as double), "
+              f"list_transform({rhs}, x -> x * x)), (p2, q2) -> p2 + q2))")
+        return f"({d} / ({nl} * {nr}))"
+
+    ivf_cents = similarity.unit_hyperplanes(64, 8, seed=7)
+    cent_rows = ", ".join(
+        "(" + str(ci) + ", ["
+        + ", ".join(f"cast({float(x)!r} as double)" for x in c) + "])"
+        for ci, c in enumerate(ivf_cents))
+    probe_dot = (f"list_reduce(list_prepend(cast(0.0 as double), "
+                 f"list_transform(range(1, 65), i -> c2.cv[i] * q.v[i])), "
+                 f"(x, y) -> x + y)")
+    sql["ivf_topk"] = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+  q as (select v from e order by vec_id limit 1),
+  cents(cell, cv) as (values {cent_rows}),
+  assigned as (
+    select e.vec_id, e.v,
+           (max(struct_pack(s := {_cos2('e.v', 'c.cv')},
+                            cell := c.cell))).cell as ivf_cell
+    from e cross join cents c group by e.vec_id, e.v),
+  probe as (
+    select c2.cell from cents c2, q
+    order by {probe_dot} desc, c2.cell asc limit 3)
+select a.vec_id, round({_cos2('a.v', 'q.v')}, 6) as cosine
+from assigned a, q
+where a.ivf_cell in (select cell from probe)
+order by cosine desc, a.vec_id asc
+limit 10
 """
 
     return sql

@@ -46,6 +46,14 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 
 
+def unit_hyperplanes(dim: int, n: int, seed: int = 42) -> np.ndarray:
+    """Unit-normalized seeded hyperplanes — used as data-independent IVF
+    centroids (a random-projection coarse quantizer), so the correctness
+    oracle can inline them as SQL literals."""
+    h = hyperplanes(dim, n, seed)
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """Bucket id = sign bits of <v, p_j> packed into a bigint (JVM-side:
     one zip_with dot product per plane over a literal plane array)."""

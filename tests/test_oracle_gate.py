@@ -1,12 +1,23 @@
 """Rehearsal of the driver's correctness gate: run every queries() entry
 and its oracle_sql() DuckDB equivalent on the same parquet tables, compare
-row count, column-name set, and (order-insensitively) values.
+row count, column-name set, dtype KINDS, and exact canonicalized values.
 
-Floats are compared with tolerance 1e-9 here — the driver's value-hash is
-exact, which is why the queries round every float output to 6dp and route
-double sums through integer cents (see __spark_entry__ docstring)."""
+This replicates the driver's pandas path faithfully (r2 hardening — the r1
+version compared fetchall() Python objects, where 37.0 == 37, and missed
+two whole failure classes):
 
-import math
+- Spark results via toPandas(), oracle via fetchdf() — so DuckDB HUGEINT ->
+  float64 coercion is visible (it broke 6 hash checks in r1);
+- canonicalization = sort columns by name, then DataFrame.sort_values over
+  ALL columns — so array/list columns crash here exactly like the driver's
+  ``_canon`` (3 errs in r1);
+- values compared exactly (no tolerance): the determinism rules in
+  __spark_entry__ (integer cents, 6-dp rounds, ordered folds) must make
+  Spark and DuckDB bit-identical.
+"""
+
+import numpy as np
+import pandas as pd
 
 import duckdb
 import pytest
@@ -26,26 +37,19 @@ def ddb(sf_dir):
     return con
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, int):
-        return v
-    return str(v)
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: columns sorted by name, rows sorted by
+    all columns. Raises TypeError on unhashable (list) columns — by design,
+    the same failure the driver's _canon produces."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
 
-def _sorted_rows(cols_in_order, rows):
-    """Rows as tuples ordered by sorted column name (driver semantics)."""
-    idx = [cols_in_order.index(c) for c in sorted(cols_in_order)]
-    return sorted(
-        (tuple(_norm(r[i]) for i in idx) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t))
+def _kind(dtype) -> str:
+    # driver-relevant type classes: int vs float vs datetime vs object
+    return np.dtype(dtype).kind if dtype != object else "O"
 
 
 ORACLE_KEYS = sorted(E.oracle_sql().keys())
@@ -54,21 +58,25 @@ ORACLE_KEYS = sorted(E.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     qfn = E.queries()[name]
-    sdf = qfn(spark, sf_dir)
-    scols = sdf.columns
-    srows = sdf.collect()
+    spdf = _canon(qfn(spark, sf_dir).toPandas())
+    dpdf = _canon(ddb.execute(E.oracle_sql()[name]).fetchdf())
 
-    res = ddb.execute(E.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    assert list(spdf.columns) == list(dpdf.columns), f"{name}: column names"
+    assert len(spdf) == len(dpdf), \
+        f"{name}: row count {len(spdf)} vs {len(dpdf)}"
 
-    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
-
-    sn = _sorted_rows(scols, [list(r) for r in srows])
-    dn = _sorted_rows(dcols, [list(r) for r in drows])
-    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    for c in spdf.columns:
+        sk, dk = _kind(spdf[c].dtype), _kind(dpdf[c].dtype)
+        assert sk == dk, f"{name}.{c}: dtype kind {spdf[c].dtype} vs {dpdf[c].dtype}"
+        a, b = spdf[c].to_numpy(), dpdf[c].to_numpy()
+        if sk == "f":
+            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        else:
+            eq = (a == b) | (pd.isna(a) & pd.isna(b))
+        bad = np.flatnonzero(~eq)
+        assert bad.size == 0, \
+            (f"{name}.{c}: {bad.size} exact mismatches, first at row "
+             f"{bad[0]}: {a[bad[0]]!r} vs {b[bad[0]]!r}")
 
 
 def test_every_oracle_key_has_query():
@@ -76,11 +84,14 @@ def test_every_oracle_key_has_query():
     assert os_ <= qs, os_ - qs
 
 
-def test_rows_only_queries_run(spark, sf_dir):
+def test_rows_only_queries_run_and_canonicalize(spark, sf_dir):
+    """Rows-only entries must survive the driver's pandas canonicalizer
+    (no array columns => no unhashable-list crash)."""
     qs = E.queries()
     for name in set(qs) - set(E.oracle_sql()):
         df = qs[name](spark, sf_dir)
-        assert df.count() >= 0, name
+        pdf = _canon(df.toPandas())          # raises on list columns
+        assert len(pdf) >= 0, name
         assert len(df.schema.fields) > 0, name
 
 
