@@ -317,6 +317,27 @@ def q_sharpness(spark, sf_dir):
                  .otherwise(0.0), 6).alias("sharpness_avg"))
 
 
+# 0-based [start, end) sequence ROIs — the Crop_Boundaries analog
+# (reference src/interface.c:24-27, core.py:489-515 set_bounding_boxes).
+_ROI_SPECS = [(5, 25), (0, 60)]
+
+
+def q_sharpness_rois(spark, sf_dir):
+    """Per-ROI sharpness through the FULL engine path: ROI column ->
+    mapInPandas kernel -> per-ROI ``sharpness`` array (Sharpnesses analog,
+    src/utilities.h:25-28; cap 10 per README.md:137). The oracle recomputes
+    the Laplacian variance/mean fold over each token slice in SQL."""
+    toks = tokens_table(spark, sf_dir).withColumn(
+        "rois", F.array(*[
+            F.struct(F.lit(s).alias("start"), F.lit(e).alias("end"))
+            for s, e in _ROI_SPECS]))
+    feats = extract_features_df(toks, CFG, roi_col="rois")
+    return feats.select(
+        "doc_id",
+        F.round(F.col("sharpness")[0], 6).alias("sharp_a"),
+        F.round(F.col("sharpness")[1], 6).alias("sharp_b"))
+
+
 def q_autocorr_lag1(spark, sf_dir):
     """Lag-1 autocorrelation as a Catalyst fold (Wiener–Khinchin kernel's
     time-domain cross-check; north_star 'autocorrelation')."""
@@ -556,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_slice": q_crop_slice,
         "rms_stats": q_rms_stats,
         "sharpness": q_sharpness,
+        "sharpness_rois": q_sharpness_rois,
         "autocorr_lag1": q_autocorr_lag1,
         "minmax_normalize": q_minmax_normalize,
         "hist": q_hist,
@@ -812,6 +834,39 @@ select doc_id,
   round(case when s / n = 0.0 then 0.0
              else (sq / n - (s / n) * (s / n)) / (s / n) end, 6) as sharpness,
   round(case when scnt > 0 then ssum / scnt else 0.0 end, 6) as sharpness_avg
+from agg
+"""
+
+    # per-ROI sharpness: the q_sharpness Laplacian fold applied to each
+    # DuckDB 1-based inclusive slice (tokens[s0+1 : e0] == python [s0:e0];
+    # out-of-range slices clip to empty, matching the kernel's clamping)
+    roi_parts = []
+    for lb, (s0, e0) in zip(("a", "b"), _ROI_SPECS):
+        sl = f"s_{lb}"
+        lap = (f"list_transform(range(1, len({sl}) + 1), "
+               f"i -> {_lap_expr(sl + '[{i}]', f'len({sl})')})")
+        roi_parts.append((lb, f"tokens[{s0 + 1}:{e0}] as {sl}", lap))
+    _z = "cast(0.0 as double)"
+    roi_aggs = ",\n      ".join(
+        f"""cast(len(s_{lb}) as double) as n_{lb},
+      list_reduce(list_prepend({_z}, {lap}), (acc, v) -> acc + v) as sum_{lb},
+      list_reduce(list_prepend({_z}, list_transform({lap}, v -> v * v)),
+                  (acc, v) -> acc + v) as sq_{lb}"""
+        for lb, _, lap in roi_parts)
+    roi_outs = ",\n  ".join(
+        f"""round(case when n_{lb} = 0 then 0.0
+             when sum_{lb} / n_{lb} = 0.0 then 0.0
+             else (sq_{lb} / n_{lb} - (sum_{lb} / n_{lb}) * (sum_{lb} / n_{lb}))
+                  / (sum_{lb} / n_{lb}) end, 6) as sharp_{lb}"""
+        for lb, _, _ in roi_parts)
+    sql["sharpness_rois"] = f"""
+with t as (select doc_id, tokens from {_TOKENS}),
+  s as (select doc_id, {', '.join(p[1] for p in roi_parts)} from t),
+  agg as (select doc_id,
+      {roi_aggs}
+    from s)
+select doc_id,
+  {roi_outs}
 from agg
 """
 

@@ -267,9 +267,13 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     }
 
 
-def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG
-                  ) -> list[dict]:
+def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
+                  rois_list: list | None = None) -> list[dict]:
     """Features for a whole Arrow batch, grouped by token length.
+
+    ``rois_list`` (optional, parallel to ``token_arrays``) carries per-row
+    [(start, end), ...] crop boundaries; per-ROI sharpness is a small
+    per-row numpy op on top of the batched features (K.sharpness_rois).
 
     Returns one dict per input row (same shape as engine.features_row)."""
     out: list[dict | None] = [None] * len(token_arrays)
@@ -304,6 +308,15 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG
                                    for (a, mg) in gf["spectral_peaks"][row_pos][:10]],
                 "autocorr": gf["autocorr"][row_pos].tolist(),
                 "bandpass_energy": gf["bandpass_energy"][row_pos].tolist(),
+                "sharpness": [],
                 "sharpness_avg": float(gf["sharpness_avg"][row_pos]),
             }
+    if rois_list is not None:
+        for i, rois in enumerate(rois_list):
+            if not rois:
+                continue
+            t = token_arrays[i]
+            x = (np.asarray(t, dtype=np.float64) / VOCAB_SIZE
+                 if t is not None else np.array([], dtype=np.float64))
+            out[i]["sharpness"] = [float(v) for v in K.sharpness_rois(x, rois)]
     return out

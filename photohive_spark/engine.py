@@ -55,6 +55,10 @@ FEATURE_FIELDS = [
     ]))),
     T.StructField("autocorr", T.ArrayType(T.DoubleType())),
     T.StructField("bandpass_energy", T.ArrayType(T.DoubleType())),
+    # per-ROI sharpness — the Sharpnesses analog (src/utilities.h:25-28,
+    # set_bounding_boxes core.py:489-515); empty when no ROI column is
+    # supplied, capped at 10 entries (README.md:137)
+    T.StructField("sharpness", T.ArrayType(T.DoubleType())),
     T.StructField("sharpness_avg", T.DoubleType()),
 ]
 
@@ -68,9 +72,10 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def features_row(tokens: np.ndarray, cfg: EngineConfig) -> dict:
+def features_row(tokens: np.ndarray, cfg: EngineConfig,
+                 rois: list[tuple[int, int]] | None = None) -> dict:
     """One row's feature dict, shaped for the Arrow schema above."""
-    f = K.extract_features(tokens, cfg)
+    f = K.extract_features(tokens, cfg, rois=rois)
     return {
         "rms_mean": f["rms_mean"],
         "rms_std": f["rms_std"],
@@ -84,11 +89,26 @@ def features_row(tokens: np.ndarray, cfg: EngineConfig) -> dict:
                            for (a, m) in f["spectral_peaks"][:10]],
         "autocorr": f["autocorr"].tolist(),
         "bandpass_energy": f["bandpass_energy"].tolist(),
+        "sharpness": [float(v) for v in f["sharpness"]],
         "sharpness_avg": f["sharpness_avg"],
     }
 
 
-def _make_kernel(cfg: EngineConfig):
+def _roi_tuples(cell) -> list[tuple[int, int]] | None:
+    """One row's ROI column value -> [(start, end), ...]. Arrow delivers
+    array<struct> as a sequence of dicts (or Rows); None passes through."""
+    if cell is None:
+        return None
+    out = []
+    for r in cell:
+        if isinstance(r, dict):
+            out.append((int(r["start"]), int(r["end"])))
+        else:  # Row / tuple-like
+            out.append((int(r[0]), int(r[1])))
+    return out
+
+
+def _make_kernel(cfg: EngineConfig, roi_col: str | None = None):
     """Build the mapInPandas function. The per-batch loop is Python over
     rows *within* an Arrow batch, but every kernel call is vectorized numpy
     over the whole token array — the reference's 'whole-plane vectorized'
@@ -99,7 +119,10 @@ def _make_kernel(cfg: EngineConfig):
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .batch_kernels import batch_extract
         for pdf in batches:
-            rows = batch_extract(list(pdf["tokens"]), cfg)
+            rois_list = None
+            if roi_col is not None and roi_col in pdf.columns:
+                rois_list = [_roi_tuples(c) for c in pdf[roi_col]]
+            rows = batch_extract(list(pdf["tokens"]), cfg, rois_list)
             cols = {n: [r[n] for r in rows] for n in feature_names}
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -115,23 +138,32 @@ def _make_kernel(cfg: EngineConfig):
 
 
 def extract_features_df(tokens_df: DataFrame,
-                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        roi_col: str | None = None) -> DataFrame:
     """tokens table -> feature-snapshot table (one row per doc_id×event_ts).
+
+    ``roi_col`` names an optional array<struct<start:int,end:int>> column of
+    per-doc crop boundaries (Crop_Boundaries analog,
+    ``src/interface.c:24-27``); when given, the output ``sharpness`` column
+    carries one per-ROI sharpness per entry (cap 10), else it is empty.
 
     Stage shape: Scan -> [optional cost rebalance] -> MapInPandas. No
     shuffle unless the caller opted into rebalancing.
     """
     cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
-    return tokens_df.select(*cols).mapInPandas(_make_kernel(cfg), FEATURE_SCHEMA)
+    if roi_col is not None:
+        cols.append(roi_col)
+    return tokens_df.select(*cols).mapInPandas(
+        _make_kernel(cfg, roi_col), FEATURE_SCHEMA)
 
 
 def flatten_features(features: DataFrame, n_palette: int = 100,
-                     n_peaks: int = 10) -> DataFrame:
+                     n_peaks: int = 10, n_rois: int = 10) -> DataFrame:
     """Fixed-width padded flat feature vector — the ``to_json`` export
     analog (reference ``core.py:388-436``: exactly 100 color entries, 10
-    blur vectors, zero-padded). Emits one array<double> column ``fvec``
-    plus the keys, so downstream ML ingest gets a stable dense layout.
-    Pure Catalyst: concat of zero-padded slices, no Python."""
+    blur vectors, 10 ROI sharpnesses, zero-padded). Emits one array<double>
+    column ``fvec`` plus the keys, so downstream ML ingest gets a stable
+    dense layout. Pure Catalyst: concat of zero-padded slices, no Python."""
     def pad(col: str, n: int, width: int = 1) -> F.Column:
         zeros = F.array_repeat(F.lit(0.0), n * width)
         flat = F.col(col).cast("array<double>") if width == 1 else \
@@ -151,6 +183,7 @@ def flatten_features(features: DataFrame, n_palette: int = 100,
         F.col("hist_counts").cast("array<double>"),
         pad("palette", n_palette, 4),
         pad("spectral_peaks", n_peaks, 2),
+        pad("sharpness", n_rois),
     )
     return features.select("doc_id", "event_ts", "n_tok", "source",
                            fvec.alias("fvec"))

@@ -132,3 +132,39 @@ def test_multi_snapshot_asof_monotone(spark, sf_dir):
         assert (r.probe_ts - r.matched_ts).total_seconds() == 1800.0  # 2nd snap
         snap = by_key[(r.doc_id, r.matched_ts)]
         assert r.rms_mean == snap.rms_mean and r.n_tok == snap.n_tok
+
+
+def test_roi_sharpness_end_to_end(spark, sf_dir):
+    """ROI plumbing: ROI column -> engine -> per-ROI sharpness equals the
+    local kernel on the same slices; no-ROI runs emit empty arrays; the
+    10-ROI cap (README.md:137) is enforced."""
+    import pyspark.sql.functions as F2
+    from photohive_spark.config import VOCAB_SIZE
+
+    rois = [(5, 25), (0, 60), (50, 55)]
+    toks = tokens_table(spark, sf_dir).limit(15).withColumn(
+        "rois", F2.array(*[
+            F2.struct(F2.lit(s).alias("start"), F2.lit(e).alias("end"))
+            for s, e in rois]))
+    out = {r.doc_id: r for r in
+           extract_features_df(toks, CFG, roi_col="rois").collect()}
+    inputs = {r.doc_id: np.asarray(r.tokens, dtype=np.float64) / VOCAB_SIZE
+              for r in toks.collect()}
+    assert out
+    for doc_id, row in out.items():
+        expected = K.sharpness_rois(inputs[doc_id], rois)
+        assert np.allclose(row.sharpness, expected, rtol=1e-9), doc_id
+        assert len(row.sharpness) == 3
+
+    # no roi_col -> empty sharpness arrays
+    plain = extract_features_df(tokens_table(spark, sf_dir).limit(3), CFG)
+    assert all(r.sharpness == [] for r in plain.collect())
+
+    # cap at 10 ROIs
+    many = [(i, i + 5) for i in range(15)]
+    toks12 = tokens_table(spark, sf_dir).limit(2).withColumn(
+        "rois", F2.array(*[
+            F2.struct(F2.lit(s).alias("start"), F2.lit(e).alias("end"))
+            for s, e in many]))
+    capped = extract_features_df(toks12, CFG, roi_col="rois").collect()
+    assert all(len(r.sharpness) == 10 for r in capped)

@@ -63,8 +63,8 @@ def test_flatten_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     row = df.limit(1).collect()[0]
     # 5 scalars + 40 bands + 16 autocorr + 6 bandpass + 112 hist
-    # + 100*4 palette + 10*2 peaks
-    assert len(row.fvec) == 5 + 40 + 16 + 6 + 112 + 400 + 20
+    # + 100*4 palette + 10*2 peaks + 10 ROI sharpnesses
+    assert len(row.fvec) == 5 + 40 + 16 + 6 + 112 + 400 + 20 + 10
 
 
 def test_codegen_covers_tokenizer(spark, sf_dir):
