@@ -50,10 +50,12 @@ def main() -> None:
     toks = validate_tokens(toks, args.min_tok, args.max_tok)
     if args.rebalance:
         toks = rebalance_by_cost(toks)
-    feats = extract_features_df(toks)
+    kernel_acc = spark.sparkContext.accumulator(0.0)
+    feats = extract_features_df(toks, time_acc=kernel_acc)
     entries = lineage.run_resumable(spark, feats, args.output,
                                     key_col="doc_id",
-                                    n_buckets=args.n_buckets)
+                                    n_buckets=args.n_buckets,
+                                    stage_accs={"kernel_s": kernel_acc})
     done = lineage.completed_buckets(args.output)
     rows = sum(e["rows"] for e in entries)
     print(json.dumps({

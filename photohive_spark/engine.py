@@ -108,21 +108,30 @@ def _roi_tuples(cell) -> list[tuple[int, int]] | None:
     return out
 
 
-def _make_kernel(cfg: EngineConfig, roi_col: str | None = None):
+def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
+                 time_acc=None):
     """Build the mapInPandas function. The per-batch loop is Python over
     rows *within* an Arrow batch, but every kernel call is vectorized numpy
     over the whole token array — the reference's 'whole-plane vectorized'
-    style (SURVEY §1.2); there is no Spark-level per-row Python."""
+    style (SURVEY §1.2); there is no Spark-level per-row Python.
+
+    ``time_acc`` (optional Spark accumulator) collects kernel wall seconds
+    across all workers — the reference's per-stage timing macros
+    (``src/utilities.h:10-18``), surfaced through lineage manifests."""
 
     feature_names = [f.name for f in FEATURE_FIELDS]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
         from .batch_kernels import batch_extract
         for pdf in batches:
+            t0 = _time.perf_counter()
             rois_list = None
             if roi_col is not None and roi_col in pdf.columns:
                 rois_list = [_roi_tuples(c) for c in pdf[roi_col]]
             rows = batch_extract(list(pdf["tokens"]), cfg, rois_list)
+            if time_acc is not None:
+                time_acc.add(_time.perf_counter() - t0)
             cols = {n: [r[n] for r in rows] for n in feature_names}
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -139,7 +148,8 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None):
 
 def extract_features_df(tokens_df: DataFrame,
                         cfg: EngineConfig = DEFAULT_CONFIG,
-                        roi_col: str | None = None) -> DataFrame:
+                        roi_col: str | None = None,
+                        time_acc=None) -> DataFrame:
     """tokens table -> feature-snapshot table (one row per doc_id×event_ts).
 
     ``roi_col`` names an optional array<struct<start:int,end:int>> column of
@@ -154,7 +164,7 @@ def extract_features_df(tokens_df: DataFrame,
     if roi_col is not None:
         cols.append(roi_col)
     return tokens_df.select(*cols).mapInPandas(
-        _make_kernel(cfg, roi_col), FEATURE_SCHEMA)
+        _make_kernel(cfg, roi_col, time_acc), FEATURE_SCHEMA)
 
 
 def flatten_features(features: DataFrame, n_palette: int = 100,

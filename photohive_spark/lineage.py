@@ -43,16 +43,28 @@ def completed_buckets(out_dir: str) -> set[int]:
 
 def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
                   key_col: str = "doc_id", n_buckets: int = 8,
-                  fail_after: int | None = None) -> list[dict]:
+                  fail_after: int | None = None,
+                  buckets_per_wave: int | None = None,
+                  stage_accs: dict | None = None) -> list[dict]:
     """Write ``df`` to ``out_dir`` partitioned by bucket, resumably.
 
-    ``fail_after`` aborts after that many buckets (test hook simulating a
-    mid-backfill crash). Returns the manifest entries written this run.
+    All missing buckets of a wave are computed in ONE Spark action:
+    ``filter(bucket in wave)`` + ``write.partitionBy('bucket')`` with
+    dynamic partition overwrite. The upstream plan (feature extraction,
+    joins, ...) therefore runs ONCE per wave — not once per bucket, which
+    at --n-buckets 1024 would re-scan the input ~1024 times (the r1 bug:
+    a bucket filter above mapInPandas cannot be pushed below it).
 
-    At 100 TB, n_buckets is O(1000) and each bucket job is one Spark action
-    over a pruned fraction of the input; the driver loop is coarse enough
-    that scheduling overhead is negligible, and a lost cluster costs at
-    most one bucket of work.
+    ``buckets_per_wave`` bounds how much work a mid-wave crash can lose
+    (default: every missing bucket in one wave — max throughput; set it
+    to O(10) on flaky clusters for finer-grained commit points).
+    ``fail_after`` (test hook) commits that many buckets, then raises.
+    ``stage_accs`` maps stage names to Spark accumulators (e.g. the
+    engine's kernel-seconds accumulator); each wave's manifest entries
+    record the per-stage deltas — the timing-macro analog of the
+    reference (``src/utilities.h:10-18``).
+
+    Returns the manifest entries written this run.
     """
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     # pin n_buckets for the lifetime of this output dir: bucket membership
@@ -71,43 +83,76 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
         with open(tmp, "w") as fh:
             json.dump({"n_buckets": n_buckets}, fh)
         os.replace(tmp, meta_path)
+
     done = completed_buckets(out_dir)
+    missing = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None:
+        waves = [missing[:fail_after], missing[fail_after:]]
+    elif buckets_per_wave:
+        waves = [missing[i:i + buckets_per_wave]
+                 for i in range(0, len(missing), buckets_per_wave)]
+    else:
+        waves = [missing]
+    waves = [w for w in waves if w]
+
+    staged = df.withColumn("bucket", bucket_of(key_col, n_buckets))
     written = []
-    staged = df.withColumn("_bucket", bucket_of(key_col, n_buckets))
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    for wave in waves:
         t0 = time.time()
-        part = staged.filter(F.col("_bucket") == b).drop("_bucket")
-        bucket_path = os.path.join(out_dir, f"bucket={b}")
-        part.write.mode("overwrite").parquet(bucket_path)
-        # per-partition metrics from what was just committed
-        out = spark.read.parquet(bucket_path)
-        per_part = (out.groupBy(F.spark_partition_id().alias("pid"))
+        acc0 = {n: a.value for n, a in (stage_accs or {}).items()}
+        part = staged.filter(F.col("bucket").isin([int(b) for b in wave]))
+        (part.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(out_dir))
+        write_s = time.time() - t0
+        stage_s = {n: round(a.value - acc0[n], 3)
+                   for n, a in (stage_accs or {}).items()}
+
+        # per-partition metrics from what was just committed (output-side
+        # read: proportional to the wave's OUTPUT, pruned to its partitions)
+        t1 = time.time()
+        out = spark.read.parquet(out_dir).where(
+            F.col("bucket").isin([int(b) for b in wave]))
+        per_part = (out.groupBy("bucket", F.spark_partition_id().alias("pid"))
                     .count().collect())
-        rows = sum(r["count"] for r in per_part)
-        entry = {
-            "bucket": b,
-            "rows": rows,
-            "wall_s": round(time.time() - t0, 3),
-            "partitions": {str(r["pid"]): r["count"] for r in per_part},
-            "committed_at_unix": int(time.time()),
-        }
-        tmp = os.path.join(out_dir, "_lineage", f".bucket_{b}.json.tmp")
-        final = os.path.join(out_dir, "_lineage", f"bucket_{b}.json")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.replace(tmp, final)  # atomic commit of the bucket
-        written.append(entry)
+        metrics_s = time.time() - t1
+        by_bucket: dict[int, list] = {int(b): [] for b in wave}
+        for r in per_part:
+            by_bucket[int(r["bucket"])].append(r)
+
+        wave_wall = round(time.time() - t0, 3)
+        for b in wave:
+            rows_b = sum(r["count"] for r in by_bucket[int(b)])
+            entry = {
+                "bucket": int(b),
+                "rows": rows_b,
+                # wall_s is the WAVE wall (buckets of a wave commit
+                # together); wave fields make the grouping explicit
+                "wall_s": wave_wall,
+                "wave_buckets": [int(x) for x in wave],
+                "stage_s": {"write_s": round(write_s, 3),
+                            "metrics_s": round(metrics_s, 3), **stage_s},
+                "partitions": {str(r["pid"]): r["count"]
+                               for r in by_bucket[int(b)]},
+                "committed_at_unix": int(time.time()),
+            }
+            tmp = os.path.join(out_dir, "_lineage", f".bucket_{b}.json.tmp")
+            final = os.path.join(out_dir, "_lineage", f"bucket_{b}.json")
+            with open(tmp, "w") as fh:
+                json.dump(entry, fh)
+            os.replace(tmp, final)  # atomic commit of the bucket
+            written.append(entry)
         if fail_after is not None and len(written) >= fail_after:
             raise RuntimeError(f"simulated crash after {fail_after} buckets")
     return written
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read back only committed buckets."""
+    """Read back only committed buckets (a zero-row bucket has a manifest
+    but no partition directory — skipped)."""
     done = sorted(completed_buckets(out_dir))
-    paths = [os.path.join(out_dir, f"bucket={b}") for b in done]
+    paths = [p for p in (os.path.join(out_dir, f"bucket={b}") for b in done)
+             if os.path.isdir(p)]
     return spark.read.parquet(*paths)
 
 

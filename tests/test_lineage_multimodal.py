@@ -41,6 +41,46 @@ def test_resume_after_crash(spark, sf_dir, tmp_path):
     assert all(r.wall_s > 0 for r in lt)
 
 
+def test_single_pass_over_input(spark, sf_dir, tmp_path):
+    """The r1 perf bug: a per-bucket filter above mapInPandas re-ran the
+    whole upstream plan once per bucket. The rewrite computes all missing
+    buckets in ONE action — assert via a row-counting accumulator that the
+    input is scanned exactly once, not n_buckets times."""
+    toks = tokens_table(spark, sf_dir).limit(80)
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = toks.mapInPandas(count_rows, toks.schema)
+    feats = extract_features_df(counted).drop("palette", "spectral_peaks")
+    out_dir = str(tmp_path / "once")
+    entries = lineage.run_resumable(spark, feats, out_dir, n_buckets=8)
+    assert acc.value == 80, f"input scanned {acc.value / 80:.1f}x"
+    assert sum(e["rows"] for e in entries) == 80
+    assert lineage.read_result(spark, out_dir).count() == 80
+
+
+def test_stage_timings_in_manifest(spark, sf_dir, tmp_path):
+    """Per-stage timing metrics (the reference's timing-macro analog):
+    kernel seconds flow from the engine accumulator into each manifest."""
+    toks = tokens_table(spark, sf_dir).limit(40)
+    kacc = spark.sparkContext.accumulator(0.0)
+    feats = extract_features_df(toks, time_acc=kacc) \
+        .drop("palette", "spectral_peaks")
+    entries = lineage.run_resumable(spark, feats, str(tmp_path / "timed"),
+                                    n_buckets=2,
+                                    stage_accs={"kernel_s": kacc})
+    assert entries
+    for e in entries:
+        assert e["stage_s"]["write_s"] > 0
+        assert e["stage_s"]["metrics_s"] > 0
+        assert e["stage_s"]["kernel_s"] > 0
+        assert e["wave_buckets"] == [0, 1]
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
