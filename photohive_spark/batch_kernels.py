@@ -267,6 +267,33 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     }
 
 
+def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
+                       ) -> dict:
+    """rms / spectrum-band / sharpness stats for an equal-length (m, n)
+    float batch — the media-column fast path (multimodal.media_features).
+    Row-for-row parity with kernels.rms_stats / spectrum_bands /
+    sharpness_avg (same steps as _group_features' corresponding blocks)."""
+    m, n = X.shape
+    rms_mean = X.mean(axis=1)
+    rms_std = np.sqrt(np.var(X, axis=1))
+    nb = cfg.radius_parts
+    bands = np.zeros((m, nb))
+    if n >= 2:
+        P = np.abs(np.fft.rfft(X - rms_mean[:, None], axis=1)) ** 2
+        Pn = _lognorm_rows(P)
+        nbb = min(nb, P.shape[1])
+        bands[:, :nbb] = _banded_means(Pn, nbb)
+    filt = 2.0 * X
+    filt[:, :-1] -= X[:, 1:]
+    filt[:, 1:] -= X[:, :-1]
+    mask = filt > cfg.sharpness_threshold
+    cnt = mask.sum(axis=1)
+    ssum = np.where(mask, filt, 0.0).sum(axis=1)
+    sh_avg = np.where(cnt > 0, ssum / np.maximum(cnt, 1), 0.0)
+    return {"rms_mean": rms_mean, "rms_std": rms_std,
+            "spectrum_bands": bands, "sharpness_avg": sh_avg}
+
+
 def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
                   rois_list: list | None = None) -> list[dict]:
     """Features for a whole Arrow batch, grouped by token length.

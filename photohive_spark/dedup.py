@@ -95,7 +95,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     jaccard >= threshold.
@@ -104,6 +105,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     distinct pairs -> exact-verify join against shingle sets. The exact
     verify is itself a shuffle-on-shingle join, but only over candidate
     docs (semi-join pushdown), so at scale the full corpus never self-joins.
+
+    ``max_bucket_size``: dup-heavy corpora put many docs in one band
+    bucket, and the within-bucket self-join is quadratic. Buckets above
+    the cap switch to STAR pairing — every member pairs with the bucket's
+    min id only (O(n) pairs) — so a corpus with 10^6 identical docs emits
+    ~10^6 candidates, not ~10^12. Star pairing still links every member
+    to a common representative (connected-component dedup downstream is
+    unaffected); only direct member<->member pair listing is reduced.
+    Default None = exact banding (the oracle-checked semantics).
     """
     rows = num_perm // bands
     sig = minhash_signatures(docs, text_col, id_col, k, num_perm)
@@ -114,19 +124,38 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         for b in range(bands)])
     banded = sig.select(F.col(id_col), F.explode(band_arr).alias("bk")) \
                 .select(id_col, "bk.band", "bk.bsig")
-    cand = (banded.alias("x").join(banded.alias("y"),
-                                   on=["band", "bsig"], how="inner")
-            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(F.col(f"x.{id_col}").alias("id_a"),
-                    F.col(f"y.{id_col}").alias("id_b"))
-            .distinct()
-            # materialize candidates once: verify_jaccard consumes them
-            # twice (id semi-join + intersection join) and recomputing the
-            # whole LSH banding subtree per consumer doubles the cost.
-            # Storage-memory blocks are LRU-evictable, so repeated calls in
-            # a long-lived app degrade gracefully; call
-            # spark.catalog.clearCache() between sweeps to force release.
-            .persist())
+
+    if max_bucket_size is not None:
+        stats = (banded.groupBy("band", "bsig")
+                 .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep")))
+        keyed = banded.join(stats, on=["band", "bsig"])
+        small = keyed.where(F.col("_bn") <= max_bucket_size) \
+                     .select(id_col, "band", "bsig")
+        pairs_small = (small.alias("x").join(small.alias("y"),
+                                             on=["band", "bsig"], how="inner")
+                       .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                       .select(F.col(f"x.{id_col}").alias("id_a"),
+                               F.col(f"y.{id_col}").alias("id_b")))
+        pairs_big = (keyed.where((F.col("_bn") > max_bucket_size)
+                                 & (F.col(id_col) != F.col("_rep")))
+                     .select(F.col("_rep").alias("id_a"),
+                             F.col(id_col).alias("id_b")))
+        cand = pairs_small.unionByName(pairs_big).distinct()
+    else:
+        cand = (banded.alias("x").join(banded.alias("y"),
+                                       on=["band", "bsig"], how="inner")
+                .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                .select(F.col(f"x.{id_col}").alias("id_a"),
+                        F.col(f"y.{id_col}").alias("id_b"))
+                .distinct())
+    # materialize candidates once: verify_jaccard consumes them twice (id
+    # semi-join + intersection join) and recomputing the whole LSH banding
+    # subtree per consumer doubles the cost. localCheckpoint (not persist)
+    # so the blocks are released by the ContextCleaner as soon as the
+    # returned plan is GC'd — no storage-memory leak across repeated calls
+    # (r1 left a persist() unreleased). On a fault-prone cluster swap for
+    # checkpoint() to a reliable dir.
+    cand = cand.localCheckpoint(eager=False)
     return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 
 

@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.types as T
 
-from . import kernels as K
 from .config import DEFAULT_CONFIG, EngineConfig
 
 MEDIA_SCHEMA = T.StructType([
@@ -71,35 +70,66 @@ def decode_stub(payload: bytes, kind: str, meta: dict, mode: str = "fake"
     return _fake_decode(payload, max(4, n))
 
 
+_META_KEYS = ("meta_width", "meta_height", "meta_sample_rate", "meta_n_frames")
+
+
+def _meta_val(v):
+    """Arrow nullable ints arrive as NaN floats in pandas — normalize."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    return int(v)
+
+
 def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                    mode: str = "fake") -> DataFrame:
     """binary payload -> DSP features, Arrow-batched. Same no-shuffle map
-    shape as engine.extract_features_df."""
+    shape as engine.extract_features_df.
+
+    Batch-vectorized: the (by-necessity per-row) decode fills a list of
+    sample arrays, then rows are grouped by decoded length and each group
+    runs as ONE stacked numpy computation (batch_kernels.signal_stats_batch)
+    — no per-row pandas (r1's iterrows anti-pattern removed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .batch_kernels import signal_stats_batch
+        names = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                meta = {k: r[k] for k in
-                        ("meta_width", "meta_height",
-                         "meta_sample_rate", "meta_n_frames")}
+            n_rows = len(pdf)
+            kinds = pdf["kind"].tolist()
+            metas = {k: pdf[k].tolist() for k in _META_KEYS}
+            xs = []
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                meta = {k: _meta_val(metas[k][i]) for k in _META_KEYS}
                 # null payload (upstream decode failure) must not kill the
                 # task — the deterministic fake of b"" yields a valid row
-                payload = b"" if r["payload"] is None else bytes(r["payload"])
-                x = decode_stub(payload, r["kind"], meta, mode)
-                mean, std = K.rms_stats(x)
-                out.append({
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
-                    "n_samples": len(x),
-                    "rms_mean": mean,
-                    "rms_std": std,
-                    "spectrum_bands": K.spectrum_bands(
-                        x, cfg.radius_parts, cfg).tolist(),
-                    "sharpness_avg": K.sharpness_avg(x, cfg),
-                })
-            yield pd.DataFrame(
-                out, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
+                xs.append(decode_stub(
+                    b"" if payload is None else bytes(payload),
+                    kinds[i], meta, mode))
+
+            rms_mean = np.zeros(n_rows)
+            rms_std = np.zeros(n_rows)
+            sh_avg = np.zeros(n_rows)
+            bands: list = [None] * n_rows
+            groups: dict[int, list[int]] = {}
+            for i, x in enumerate(xs):
+                groups.setdefault(len(x), []).append(i)
+            for _, idxs in groups.items():
+                st = signal_stats_batch(np.stack([xs[i] for i in idxs]), cfg)
+                for pos, i in enumerate(idxs):
+                    rms_mean[i] = st["rms_mean"][pos]
+                    rms_std[i] = st["rms_std"][pos]
+                    sh_avg[i] = st["sharpness_avg"][pos]
+                    bands[i] = st["spectrum_bands"][pos].tolist()
+
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_samples": np.array([len(x) for x in xs], dtype=np.int32),
+                "rms_mean": rms_mean,
+                "rms_std": rms_std,
+                "spectrum_bands": bands,
+                "sharpness_avg": sh_avg,
+            }, columns=names)
 
     cols = [f.name for f in MEDIA_SCHEMA.fields]
     return media.select(*cols).mapInPandas(run, MEDIA_FEATURE_SCHEMA)

@@ -105,12 +105,24 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
         else:
             start, last, n = ts_us[0], ts_us[0], 0
         out = []
-        # stragglers older than the open session by > gap can never merge
-        # with it; sessionize them among THEMSELVES with the same gap rule
-        # and emit (exact batch semantics within what's in hand — merging
-        # with already-emitted history is the watermark tradeoff)
-        stragglers = [t for t in ts_us if n > 0 and t < start - gap_us]
-        ts_live = ts_us[len(stragglers):]
+        # late events below the open session's start: first merge the
+        # within-gap ones BACKWARD to fixpoint (each merge extends start
+        # further down, which can pull in older events — e.g. start=1000,
+        # gap=100, batch=[850, 950]: 950 merges, extending start to 950,
+        # then 850 merges against the extended start; classifying against
+        # the pre-batch start would mis-emit 850 as its own session).
+        # What remains after the fixpoint can never merge; sessionize those
+        # stragglers among THEMSELVES with the same gap rule and emit
+        # (exact batch semantics within what's in hand — merging with
+        # already-emitted history is the watermark tradeoff).
+        below = [t for t in ts_us if n > 0 and t < start]
+        ts_live = ts_us[len(below):]
+        idx = len(below)
+        while idx > 0 and below[idx - 1] >= start - gap_us:
+            idx -= 1
+            start = below[idx]
+            n += 1
+        stragglers = below[:idx]
         while stragglers:
             s0 = e0 = stragglers[0]
             cnt = 1
@@ -131,8 +143,6 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
                             "session_end": pd.Timestamp(last, unit="us"),
                             "n_events": n})
                 start, n = t, 0
-            # late-but-within-gap events extend the open session backward
-            start = min(start, t)
             last = max(last, t)
             n += 1
         state.update((start, last, n))

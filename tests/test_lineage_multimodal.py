@@ -109,3 +109,26 @@ def test_media_features_plumbing(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", "image", {}, mode="real")
+
+
+def test_media_features_match_per_doc_kernels(media):
+    """The batched media kernel (signal_stats_batch over length groups)
+    must equal the per-doc kernels row-for-row."""
+    from photohive_spark import kernels as K
+    from photohive_spark.config import DEFAULT_CONFIG as CFG
+
+    got = {r.media_id: r for r in multimodal.media_features(media).collect()}
+    for r in media.collect():
+        meta = {k: r[k] for k in ("meta_width", "meta_height",
+                                  "meta_sample_rate", "meta_n_frames")}
+        x = multimodal.decode_stub(bytes(r.payload), r.kind, meta)
+        mean, std = K.rms_stats(x)
+        g = got[r.media_id]
+        assert g.n_samples == len(x)
+        assert g.rms_mean == pytest.approx(mean, rel=1e-12)
+        assert g.rms_std == pytest.approx(std, rel=1e-12)
+        assert g.sharpness_avg == pytest.approx(K.sharpness_avg(x, CFG),
+                                                rel=1e-9)
+        assert np.allclose(g.spectrum_bands,
+                           K.spectrum_bands(x, CFG.radius_parts, CFG),
+                           rtol=1e-9)

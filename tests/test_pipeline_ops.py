@@ -212,3 +212,29 @@ def test_ivf_topk_recall(spark, emb):
     cells = similarity.ivf_assign(emb, cents)
     assert cells.count() == emb.count()
     assert cells.select("ivf_cell").distinct().count() <= 8
+
+
+def test_lsh_bucket_cap_linear_on_identical_docs(spark):
+    """A dup-heavy corpus (1000 identical docs) must not build a quadratic
+    within-bucket candidate set: with max_bucket_size the oversized buckets
+    switch to star pairing (every member <-> bucket-min representative)."""
+    docs = spark.range(1000).select(
+        F.format_string("d%04d", "id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again and again")
+         .alias("text"))
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=32)
+    rows = out.collect()
+    assert len(rows) == 999                       # O(n), not n*(n-1)/2
+    assert all(r.id_a == "d0000" for r in rows)   # star anchored at min id
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_lsh_bucket_cap_noop_when_buckets_small(spark, docs):
+    """With a cap larger than any bucket, capped == uncapped pair set."""
+    base = {(r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.8,
+                                             bands=8).collect()}
+    capped = {(r.id_a, r.id_b, r.jaccard)
+              for r in dedup.minhash_lsh_pairs(docs, threshold=0.8, bands=8,
+                                               max_bucket_size=10**6).collect()}
+    assert base == capped and base

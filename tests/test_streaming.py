@@ -123,3 +123,34 @@ def test_asof_stream_static_matches_batch(spark, tmp_path):
                                    "snapshot_ts", ["feat"]).collect()}
     assert len(got) == 80
     assert got == want
+
+
+def test_sessionize_stream_backward_extension_fixpoint(spark, tmp_path):
+    """Advisor r2 scenario: open session start=1000, gap=100; a later batch
+    delivers [850, 950]. 950 merges and extends the session start to 950,
+    after which 850 is ALSO within gap — the straggler classification must
+    run against the extended start (fixpoint), yielding ONE session
+    [850..1000] x3 like batch sessionize, not a spurious 850-only session."""
+    import os
+    import time as _t
+
+    t0 = dt.datetime(2026, 1, 1)
+    ev = lambda s: (1, t0 + dt.timedelta(seconds=s))
+    src = str(tmp_path / "bw_stream")
+    batches = [[ev(1000)], [ev(850), ev(950)], [ev(99999)]]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "user_id long, ts timestamp") \
+             .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.05)  # distinct mtimes => deterministic file-source order
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(
+        streaming.sessionize_stream(stream, gap_seconds=100), "bw_sess")
+    got = [(r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("select * from bw_sess").collect()]
+
+    s850 = t0 + dt.timedelta(seconds=850)
+    s1000 = t0 + dt.timedelta(seconds=1000)
+    assert (s850, s1000, 3) in got, got
+    assert not any(st == en == s850 for st, en, _ in got), got
