@@ -224,6 +224,11 @@ def q_tokenize(spark, sf_dir):
 
 
 def q_validate(spark, sf_dir):
+    # bounds (30, 90) are chosen for the driver corpus (sf docs cluster at
+    # ~30-90 whitespace tokens, so the filter selects a non-trivial ~70%);
+    # the reference-derived config default (min_tok=350, src/utilities.c:69)
+    # would select zero rows here — the config path itself is exercised by
+    # jobs/run_pipeline.py's --min-tok/--max-tok and tests.
     toks = validate_tokens(tokens_table(spark, sf_dir), 30, 90)
     return toks.select("doc_id", "n_tok")
 
@@ -437,6 +442,29 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs_str(spark, sf_dir))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster assignment: min-label connected components over
+    the exact n-gram Jaccard pair set (every doc labelled by the smallest
+    id in its dup cluster; non-dups are singletons). Oracle = recursive-CTE
+    transitive closure in DuckDB."""
+    docs = _docs_str(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=_SHINGLE_K, threshold=0.8)
+    return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-corpus cleaning: exact-dedup winners ∩ English
+    ∩ quality >= 0.5 — the end-to-end 'assemble a clean corpus' filter
+    built from the engine's own operators."""
+    docs = _docs_str(spark, sf_dir)
+    winners = dedup.exact_dedup(docs).select("doc_id")
+    lang = text.lang_id(docs).where(F.col("lang_pred") == "en") \
+        .select("doc_id")
+    q = text.quality_score(docs).where(F.col("quality") >= 0.5) \
+        .select("doc_id", "n_words", "quality")
+    return q.join(winners, "doc_id").join(lang, "doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs_str(spark, sf_dir))
 
@@ -584,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_by_source": q_entropy_by_source,
         "topk_coverage": q_topk_coverage,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
+        "corpus_clean": q_corpus_clean,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -950,6 +980,24 @@ from {_DOCS}
 
     sql["ngram_jaccard"] = _jaccard_sql(0.8)
 
+    # connected components: recursive-CTE transitive closure over the
+    # ngram_jaccard edge set; label = min reachable id
+    sql["dedup_components"] = f"""
+with recursive
+  pairs as ({_jaccard_sql(0.8)}),
+  edges as (select id_a as src, id_b as dst from pairs
+            union all
+            select id_b as src, id_a as dst from pairs),
+  walk as (
+    select doc_id as node, doc_id as label from {_DOCS}
+    union
+    select e.dst as node, w.label
+    from walk w join edges e on e.src = w.node
+  )
+select node as doc_id, min(label) as component
+from walk group by node
+"""
+
     sql["minhash_signatures"] = f"""
 with {_minhash_sig_cte()}
 select * from sig
@@ -1043,6 +1091,21 @@ select doc_id,
   cast(len({_WORDS}) as int) as ws_tokens,
   cast(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) as int) as bpe_tokens
 from {_DOCS}
+"""
+
+    # composed corpus cleaner — reuses the proven quality/lang_id SQL
+    # verbatim as nested subqueries, so the three filters are by
+    # construction the same predicates the individual oracles hash-match
+    sql["corpus_clean"] = f"""
+with winners as (
+  select min(doc_id) as doc_id from {_DOCS} group by md5(text)),
+  qsel as (select doc_id, n_words, quality
+           from ({sql['quality']}) where quality >= 0.5),
+  langsel as (select doc_id from ({sql['lang_id']}) where lang_pred = 'en')
+select qsel.doc_id, qsel.n_words, qsel.quality
+from qsel
+join winners on qsel.doc_id = winners.doc_id
+join langsel on qsel.doc_id = langsel.doc_id
 """
 
     # cosine: sequential fold in index order == Spark F.aggregate order

@@ -238,6 +238,47 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sim
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs by min-label propagation:
+    every node's label converges to the smallest id in its component —
+    the canonical 'dedup cluster representative' assignment downstream of
+    minhash_lsh_pairs / ngram_jaccard_pairs.
+
+    Returns (id_col, component). Nodes absent from ``pairs`` are singleton
+    components labelled by themselves.
+
+    Scale notes: each round is one join + one groupBy (two shuffles), and
+    rounds = O(component diameter) — near-dup clusters are shallow (most
+    are stars around a template), so 3-5 rounds typically converge.
+    Labels are localCheckpoint'ed per round to truncate the growing plan
+    lineage. For adversarially deep graphs switch to alternating
+    small-star/large-star (same DataFrame ops, O(log n) rounds).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("id_b").alias("src"),
+                              F.col("id_a").alias("dst"))))
+    labels = nodes.select(F.col(id_col),
+                          F.col(id_col).alias("component")).distinct() \
+                  .localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neigh = (edges.join(labels,
+                            edges.dst == labels[id_col], how="inner")
+                 .select(F.col("src").alias(id_col), "component"))
+        new = (labels.unionByName(neigh)
+               .groupBy(id_col).agg(F.min("component").alias("component"))
+               .localCheckpoint(eager=False))
+        changed = (labels.alias("o").join(new.alias("n"), on=id_col)
+                   .where(F.col("o.component") != F.col("n.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95, dim: int = 64,
