@@ -163,12 +163,19 @@ def _mp_control_once(nproc: int) -> float:
 
 
 def _mp_chunk(seed: int) -> None:
+    # the SAME code path Spark workers run (length-grouped batch_extract
+    # over Arrow-batch-sized groups) — a per-doc control would overstate
+    # the hardware ceiling, since the batched kernels are more
+    # memory-bandwidth-bound and that is exactly what stops scaling on a
+    # shared-bandwidth single socket
     import numpy as np
     from photohive_spark.config import DEFAULT_CONFIG as CFG
-    from photohive_spark.engine import features_row
+    from photohive_spark.batch_kernels import batch_extract
     rng = np.random.default_rng(seed)
-    for m in rng.integers(20, 90, 2000):
-        features_row(rng.integers(0, 50257, int(m), dtype=np.int32), CFG)
+    arrays = [rng.integers(0, 50257, int(m), dtype=np.int32)
+              for m in rng.integers(20, 90, 2000)]
+    for i in range(0, len(arrays), 256):
+        batch_extract(arrays[i:i + 256], CFG)
 
 
 def run_scaling() -> dict:
