@@ -238,3 +238,33 @@ def test_lsh_bucket_cap_noop_when_buckets_small(spark, docs):
               for r in dedup.minhash_lsh_pairs(docs, threshold=0.8, bands=8,
                                                max_bucket_size=10**6).collect()}
     assert base == capped and base
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property: min-label propagation == classic union-find on random
+    graphs (components labelled by their minimum node id)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)]
+
+    parent = {n: n for n in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(sorted(set(edges)), "id_a string, id_b string")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id string")
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(pairs, nodes_df).collect()}
+    assert got == want
