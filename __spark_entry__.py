@@ -447,6 +447,53 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs_str(spark, sf_dir))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash hamming near-dup pairs (pigeonhole-banded candidates +
+    exact bit_count(xor) verify). The corpus is doubled with perturbed ids
+    so guaranteed hamming-0 pairs exist at every sf."""
+    docs = _docs_str(spark, sf_dir)
+    doubled = docs.unionByName(docs.select(
+        F.concat_ws("_", "doc_id", F.lit("b")).alias("doc_id"),
+        "text", "source"))
+    return dedup.simhash_neardup_pairs(doubled, max_hamming=3)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% sample by key hash (reproducible across engines,
+    retries, and cluster sizes — unlike df.sample)."""
+    from photohive_spark import sampling
+    return sampling.hash_sample(_docs_str(spark, sf_dir), 0.25) \
+        .select("doc_id", "source")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source corpus mixing: keep all of src0, 10% of src1, 50%
+    elsewhere — the standard training-mix primitive."""
+    from photohive_spark import sampling
+    return sampling.stratified_sample(
+        _docs_str(spark, sf_dir), {"src0": 1.0, "src1": 0.1},
+        default_rate=0.5).select("doc_id", "source")
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact discrete per-source n_tok percentiles via sorted collect_list
+    — ORACLE-PARITY FORM (exact, engine-identical). At 10^12 rows use
+    percentile_approx (same single-shuffle query shape, mergeable sketch)
+    instead of materializing per-group arrays."""
+    toks = tokens_table(spark, sf_dir)
+    g = toks.groupBy("source").agg(
+        F.sort_array(F.collect_list("n_tok")).alias("arr"),
+        F.count("*").alias("n"))
+
+    def pick(q):
+        idx = (F.floor((F.col("n") - 1) * q) + 1).cast("int")
+        return F.element_at("arr", idx)
+
+    return g.select("source", F.col("n").alias("n_docs"),
+                    pick(0.5).alias("p50"), pick(0.9).alias("p90"),
+                    pick(0.99).alias("p99")).orderBy("source")
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup cluster assignment: min-label connected components over
     the exact n-gram Jaccard pair set (every doc labelled by the smallest
@@ -624,6 +671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "length_percentiles": q_length_percentiles,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1047,11 +1098,61 @@ where cast(inter as double) / (sa.n_sh + sb.n_sh - inter) >= 0.8
     bit_assemble = " + ".join(
         f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)"
         for b in range(dedup.SIMHASH_BITS))
-    sql["simhash"] = f"""
-with words as (select doc_id, unnest({_WORDS}) as w from {_DOCS}),
+
+    def _simhash_sql(src: str) -> str:
+        return f"""
+with words as (select doc_id, unnest({_WORDS}) as w from {src}),
   hashed as (select doc_id, {_POLY_W} as h from words),
   sums as (select doc_id, {bit_sums} from hashed group by doc_id)
 select doc_id, {bit_assemble} as simhash from sums
+"""
+
+    sql["simhash"] = _simhash_sql(_DOCS)
+
+    # simhash near-dup: doubled corpus (guaranteed hamming-0 pairs),
+    # 4x8-bit pigeonhole bands, exact bit_count(xor) verify
+    _DOUBLED = f"""
+(select doc_id, text, source from {_DOCS}
+ union all
+ select doc_id || '_b' as doc_id, text, source from {_DOCS})
+"""
+    sql["simhash_neardup"] = f"""
+with sims as ({_simhash_sql(_DOUBLED)}),
+  keyed as (
+    select doc_id, simhash, b.b as band, (simhash >> (8 * b.b)) & 255 as bval
+    from sims cross join (select unnest([0, 1, 2, 3]) as b) b),
+  cand as (
+    select distinct x.doc_id as id_a, y.doc_id as id_b,
+      cast(bit_count(xor(x.simhash, y.simhash)) as int) as hamming
+    from keyed x join keyed y
+      on x.band = y.band and x.bval = y.bval and x.doc_id < y.doc_id)
+select id_a, id_b, hamming from cand where hamming <= 3
+"""
+
+    # sampling bucket = poly hash of md5 hex (md5 diffuses, poly fold is
+    # engine-identical — see sampling._bucket)
+    _H_ID = dedup.duckdb_poly_hash("md5(doc_id)")
+    sql["hash_sample"] = f"""
+select doc_id, source from {_DOCS} where {_H_ID} % 10000 < 2500
+"""
+
+    sql["stratified_sample"] = f"""
+select doc_id, source from {_DOCS}
+where {_H_ID} % 10000 <
+  case when source = 'src0' then 10000
+       when source = 'src1' then 1000
+       else 5000 end
+"""
+
+    sql["length_percentiles"] = f"""
+with t as (select source, cast(len(tokens) as int) as n_tok from {_TOKENS}),
+  g as (select source, list_sort(list(n_tok)) as arr, count(*) as n
+        from t group by source)
+select source, cast(n as bigint) as n_docs,
+  arr[cast(floor((n - 1) * 0.5) as int) + 1] as p50,
+  arr[cast(floor((n - 1) * 0.9) as int) + 1] as p90,
+  arr[cast(floor((n - 1) * 0.99) as int) + 1] as p99
+from g order by source
 """
 
     sql["lang_id"] = f"""

@@ -238,6 +238,47 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sim
 
 
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3, bands: int = 4,
+                          bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: the ``bits``-bit simhash splits into ``bands``
+    equal bands; any pair within hamming ``bands - 1`` shares at least one
+    identical band, so candidates = pairs sharing a (band, value) key —
+    never an all-pairs comparison (``max_hamming`` must be < ``bands``).
+    Exact verification = bit_count(xor) on the candidate set.
+
+    Scale: one groupBy to build signatures, one equi-join on the band key;
+    uniform band values (hash bits) mean no skew; same shape as MinHash-LSH
+    banding but with a 1-word signature.
+    """
+    if max_hamming >= bands:
+        raise ValueError(f"pigeonhole soundness needs max_hamming < bands "
+                         f"({max_hamming} >= {bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash(docs, text_col, id_col, bits)
+    keyed = (sim.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * width)
+                      .bitwiseAND(F.lit(mask)).alias("bval"))
+            for b in range(bands)])).alias("k"))
+        .select(id_col, "simhash", "k.band", "k.bval"))
+    cand = (keyed.alias("x").join(keyed.alias("y"), on=["band", "bval"])
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"),
+                    F.bit_count(F.col("x.simhash")
+                                .bitwiseXOR(F.col("y.simhash")))
+                     .alias("hamming"))
+            .distinct())
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 50) -> DataFrame:

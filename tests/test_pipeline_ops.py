@@ -268,3 +268,33 @@ def test_connected_components_vs_union_find(spark):
     got = {r.doc_id: r.component
            for r in dedup.connected_components(pairs, nodes_df).collect()}
     assert got == want
+
+
+def test_simhash_neardup_pigeonhole_and_verify(spark, docs):
+    """Doubled corpus: every doc pairs with its copy at hamming 0; the
+    pigeonhole guard rejects unsound (max_hamming >= bands) configs."""
+    doubled = docs.unionByName(docs.select(
+        F.concat_ws("_", "doc_id", F.lit("b")).alias("doc_id"), "text"))
+    out = dedup.simhash_neardup_pairs(doubled, max_hamming=3)
+    rows = out.collect()
+    n_docs = docs.count()
+    zero = [r for r in rows if r.hamming == 0]
+    assert len(zero) >= n_docs            # each (x, x_b) copy pair found
+    assert all(r.hamming <= 3 for r in rows)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_neardup_pairs(doubled, max_hamming=4, bands=4)
+
+
+def test_sampling_deterministic_and_rate(spark, docs):
+    from photohive_spark import sampling
+    a = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.25).collect())
+    b = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.25).collect())
+    assert a == b and a                    # deterministic, non-empty
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.4 * n    # ~25% within hash noise
+    # rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert sampling.hash_sample(docs, 1.0).count() == n
+    assert sampling.hash_sample(docs, 0.0).count() == 0
+    # subset property: a 10% sample is contained in the 25% sample
+    small = {r.doc_id for r in sampling.hash_sample(docs, 0.10).collect()}
+    assert small <= set(a)
