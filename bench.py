@@ -27,8 +27,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # flagship input is replicated to give the cluster enough work for a stable
-# throughput read (sf0.1 documents = 5k rows; x4 = 20k feature extractions)
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
+# throughput read: sf0.1 documents = 5k rows; x16 = 80k feature extractions
+# (~2.3 s at 32 cores). The r1 default x4 produced ~1 s walls at 32 cores,
+# where task-wave quantization dominated and understated throughput ~2x.
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
 
 HEADLINE = ["extract_features", "asof_join", "sessionize", "minhash_lsh",
             "similarity_topk", "hist", "rms_stats", "feature_asof",
