@@ -181,8 +181,8 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     Tl = T.astype(np.int64)
     x = Tl / float(VOCAB_SIZE)
 
-    rms_mean = x.mean(axis=1)
-    rms_std = np.sqrt(np.var(x, axis=1))
+    st = signal_stats_batch(x, cfg)
+    rms_mean, rms_std = st["rms_mean"], st["rms_std"]
 
     # downsample applies to the hsv/histogram/palette path ONLY — the
     # reference runs stats/FFT on the ORIGINAL image (src/interface.c:39-50);
@@ -203,19 +203,13 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         p = counts / counts.sum(axis=1, keepdims=True)
         ent = -np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0).sum(axis=1)
 
-    # spectral family
-    nb = cfg.radius_parts
-    bands = np.zeros((m, nb))
+    # spectral family: bands from the shared stats; autocorr reuses the
+    # power spectrum (Wiener–Khinchin) instead of a second rfft
+    bands = st["spectrum_bands"]
+    sh_avg = st["sharpness_avg"]
     ac = np.zeros((m, cfg.autocorr_lags))
-    if n >= 2:
-        x0 = x - rms_mean[:, None]
-        Fx = np.fft.rfft(x0, axis=1)
-        P = np.abs(Fx) ** 2
-        Pn = _lognorm_rows(P)
-        nf = P.shape[1]
-        nbb = min(nb, nf)
-        bands[:, :nbb] = _banded_means(Pn, nbb)
-
+    if st["power"] is not None:
+        P = st["power"]
         r = np.fft.irfft(P, n=n, axis=1)
         k = min(cfg.autocorr_lags, n)
         r0 = r[:, 0]
@@ -224,15 +218,6 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
 
     # bandpass energy: batched direct circular convolution
     bp = _bandpass_energy_batch(x, cfg)
-
-    # sharpness_avg: zero-padded [-1,2,-1] correlation, vectorized shifts
-    filt = 2.0 * x
-    filt[:, :-1] -= x[:, 1:]
-    filt[:, 1:] -= x[:, :-1]
-    mask = filt > cfg.sharpness_threshold
-    cnt = mask.sum(axis=1)
-    ssum = np.where(mask, filt, 0.0).sum(axis=1)
-    sh_avg = np.where(cnt > 0, ssum / np.maximum(cnt, 1), 0.0)
 
     # per-doc small aggregates: blur profile framing + peaks + palette
     peaks_list, pal_list = [], []
@@ -270,19 +255,23 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
 def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
                        ) -> dict:
     """rms / spectrum-band / sharpness stats for an equal-length (m, n)
-    float batch — the media-column fast path (multimodal.media_features).
+    float batch — the SINGLE implementation shared by the token path
+    (_group_features) and the media path (multimodal.media_features).
     Row-for-row parity with kernels.rms_stats / spectrum_bands /
-    sharpness_avg (same steps as _group_features' corresponding blocks)."""
+    sharpness_avg. Also returns the raw ``power`` spectrum (None for
+    n < 2) so callers can derive autocorrelation without a second rfft."""
     m, n = X.shape
     rms_mean = X.mean(axis=1)
     rms_std = np.sqrt(np.var(X, axis=1))
     nb = cfg.radius_parts
     bands = np.zeros((m, nb))
+    P = None
     if n >= 2:
         P = np.abs(np.fft.rfft(X - rms_mean[:, None], axis=1)) ** 2
         Pn = _lognorm_rows(P)
         nbb = min(nb, P.shape[1])
         bands[:, :nbb] = _banded_means(Pn, nbb)
+    # sharpness_avg: zero-padded [-1,2,-1] correlation, vectorized shifts
     filt = 2.0 * X
     filt[:, :-1] -= X[:, 1:]
     filt[:, 1:] -= X[:, :-1]
@@ -291,7 +280,7 @@ def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
     ssum = np.where(mask, filt, 0.0).sum(axis=1)
     sh_avg = np.where(cnt > 0, ssum / np.maximum(cnt, 1), 0.0)
     return {"rms_mean": rms_mean, "rms_std": rms_std,
-            "spectrum_bands": bands, "sharpness_avg": sh_avg}
+            "spectrum_bands": bands, "sharpness_avg": sh_avg, "power": P}
 
 
 def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,

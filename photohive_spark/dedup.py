@@ -110,10 +110,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     bucket, and the within-bucket self-join is quadratic. Buckets above
     the cap switch to STAR pairing — every member pairs with the bucket's
     min id only (O(n) pairs) — so a corpus with 10^6 identical docs emits
-    ~10^6 candidates, not ~10^12. Star pairing still links every member
-    to a common representative (connected-component dedup downstream is
-    unaffected); only direct member<->member pair listing is reduced.
-    Default None = exact banding (the oracle-checked semantics).
+    ~10^6 candidates, not ~10^12. RECALL CAVEAT: star candidates are
+    verified against the representative, so two members whose Jaccard to
+    the rep falls below ``threshold`` lose their member<->member pair even
+    if it would have passed (possible when a giant bucket mixes a
+    hash-collision outlier with true dups). Size the cap well above the
+    expected dup-cluster width; the cap is a blowup guard, not a
+    semantics-preserving optimization. Default None = exact banding (the
+    oracle-checked semantics).
     """
     rows = num_perm // bands
     sig = minhash_signatures(docs, text_col, id_col, k, num_perm)
@@ -316,8 +320,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                    .count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    # returning partially-propagated labels would silently split real
+    # clusters — fail loudly instead (deep chains need more rounds or the
+    # O(log n) small-star/large-star variant)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        f"(component diameter exceeds max_iters; raise max_iters)")
 
 
 def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",

@@ -84,6 +84,10 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
             json.dump({"n_buckets": n_buckets}, fh)
         os.replace(tmp, meta_path)
 
+    if "bucket" in df.columns:
+        raise ValueError(
+            "input already has a 'bucket' column — it is reserved for the "
+            "partition key (rename the caller's column before run_resumable)")
     done = completed_buckets(out_dir)
     missing = [b for b in range(n_buckets) if b not in done]
     if fail_after is not None:
@@ -109,12 +113,20 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
                    for n, a in (stage_accs or {}).items()}
 
         # per-partition metrics from what was just committed (output-side
-        # read: proportional to the wave's OUTPUT, pruned to its partitions)
+        # read: proportional to the wave's OUTPUT, pruned to its partitions).
+        # An all-empty wave writes no partition dirs (only _SUCCESS), and
+        # spark.read.parquet on a file-less dir cannot infer a schema —
+        # commit rows=0 manifests instead of crashing.
         t1 = time.time()
-        out = spark.read.parquet(out_dir).where(
-            F.col("bucket").isin([int(b) for b in wave]))
-        per_part = (out.groupBy("bucket", F.spark_partition_id().alias("pid"))
-                    .count().collect())
+        if any(os.path.isdir(os.path.join(out_dir, f"bucket={int(b)}"))
+               for b in wave):
+            out = spark.read.parquet(out_dir).where(
+                F.col("bucket").isin([int(b) for b in wave]))
+            per_part = (out.groupBy("bucket",
+                                    F.spark_partition_id().alias("pid"))
+                        .count().collect())
+        else:
+            per_part = []
         metrics_s = time.time() - t1
         by_bucket: dict[int, list] = {int(b): [] for b in wave}
         for r in per_part:

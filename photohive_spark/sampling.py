@@ -30,10 +30,16 @@ def _bucket(id_col: str) -> F.Column:
     return F.expr(poly_hash_expr(f"md5({id_col})")) % SAMPLE_MOD
 
 
+def _thresh(rate: float) -> int:
+    # round, don't truncate: 0.29 * 10000 is 2899.999... in float64 and
+    # int() would shave a whole bucket off the requested rate
+    return int(round(rate * SAMPLE_MOD))
+
+
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id"
                 ) -> DataFrame:
     """Keep a deterministic ``rate`` fraction of rows by key hash."""
-    return df.where(_bucket(id_col) < int(rate * SAMPLE_MOD))
+    return df.where(_bucket(id_col) < _thresh(rate))
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -43,8 +49,8 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     primitive (e.g. downweight a crawl source, keep all curated docs).
     ``rates`` maps stratum value -> keep fraction; unlisted strata use
     ``default_rate``."""
-    thresh = F.lit(int(default_rate * SAMPLE_MOD))
+    thresh = F.lit(_thresh(default_rate))
     for val, rate in sorted(rates.items()):
         thresh = F.when(F.col(strata_col) == val,
-                        F.lit(int(rate * SAMPLE_MOD))).otherwise(thresh)
+                        F.lit(_thresh(rate))).otherwise(thresh)
     return df.where(_bucket(id_col) < thresh)

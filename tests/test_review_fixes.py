@@ -155,3 +155,50 @@ def test_sessionize_stream_late_cluster_merges(spark, tmp_path):
     # 10:00 session closed by the 12:00 event
     assert [(r.session_start.hour, r.session_start.minute, r.n_events)
             for r in rows] == [(8, 0, 2), (10, 0, 2)]
+
+
+# ---- round-2 review fixes ----
+
+def test_run_resumable_empty_input(spark, tmp_path):
+    """An all-empty wave (e.g. --min-tok filters every row) must commit
+    rows=0 manifests, not crash on the schema-less metrics read."""
+    from photohive_spark import lineage
+    empty = spark.range(0).selectExpr("cast(id as string) as doc_id",
+                                      "id as v")
+    out_dir = str(tmp_path / "empty")
+    entries = lineage.run_resumable(spark, empty, out_dir, n_buckets=3)
+    assert len(entries) == 3
+    assert all(e["rows"] == 0 for e in entries)
+    assert lineage.completed_buckets(out_dir) == {0, 1, 2}
+
+
+def test_run_resumable_rejects_bucket_column(spark, tmp_path):
+    from photohive_spark import lineage
+    import pytest as _pt
+    df = spark.range(5).selectExpr("cast(id as string) as doc_id",
+                                   "id as bucket")
+    with _pt.raises(ValueError, match="reserved"):
+        lineage.run_resumable(spark, df, str(tmp_path / "col"), n_buckets=2)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from photohive_spark import dedup
+    import pytest as _pt
+    chain = [(f"c{i}", f"c{i+1}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    nodes = spark.createDataFrame([(f"c{i}",) for i in range(7)],
+                                  "doc_id string")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, nodes, max_iters=2)
+    # and converges with enough rounds
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(pairs, nodes,
+                                               max_iters=10).collect()}
+    assert set(got.values()) == {"c0"}
+
+
+def test_sample_threshold_rounds_not_truncates():
+    from photohive_spark.sampling import _thresh
+    assert _thresh(0.29) == 2900          # 0.29*10000 = 2899.999... in fp64
+    assert _thresh(0.25) == 2500
+    assert _thresh(1.0) == 10000 and _thresh(0.0) == 0
