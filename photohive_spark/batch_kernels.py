@@ -252,6 +252,17 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     }
 
 
+def length_groups(arrays: list) -> dict[int, list[int]]:
+    """Group row indices by array length (None counts as 0) — the shared
+    scatter key for every equal-length batched computation (token path in
+    batch_extract, media path in multimodal.media_features)."""
+    groups: dict[int, list[int]] = {}
+    for i, a in enumerate(arrays):
+        n = 0 if a is None else len(a)
+        groups.setdefault(n, []).append(i)
+    return groups
+
+
 def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
                        ) -> dict:
     """rms / spectrum-band / sharpness stats for an equal-length (m, n)
@@ -293,10 +304,7 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
 
     Returns one dict per input row (same shape as engine.features_row)."""
     out: list[dict | None] = [None] * len(token_arrays)
-    groups: dict[int, list[int]] = {}
-    for i, t in enumerate(token_arrays):
-        n = 0 if t is None else len(t)
-        groups.setdefault(n, []).append(i)
+    groups = length_groups(token_arrays)
 
     empty = None
     for n, idxs in groups.items():
@@ -305,7 +313,12 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
                 from .engine import features_row
                 empty = features_row(np.array([], dtype=np.int32), cfg)
             for i in idxs:
-                out[i] = dict(empty)
+                # per-row rebuild (not dict(empty)): a shallow copy would
+                # alias the template's mutable lists across every empty
+                # row in the batch — safe today, a trap for any future
+                # in-place mutation
+                out[i] = {k: (list(v) if isinstance(v, list) else v)
+                          for k, v in empty.items()}
             continue
         T = np.stack([np.asarray(token_arrays[i], dtype=np.int32)
                       for i in idxs])

@@ -117,7 +117,10 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
 
     ``time_acc`` (optional Spark accumulator) collects kernel wall seconds
     across all workers — the reference's per-stage timing macros
-    (``src/utilities.h:10-18``), surfaced through lineage manifests."""
+    (``src/utilities.h:10-18``), surfaced through lineage manifests.
+    Accumulators updated in transformations are at-least-once: task
+    retries / speculative duplicates overcount, so treat the timing as an
+    advisory profile, not an exact meter."""
 
     feature_names = [f.name for f in FEATURE_FIELDS]
 

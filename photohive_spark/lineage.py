@@ -81,7 +81,11 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
     else:
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
+            # schema recorded so read_result can return a typed empty
+            # DataFrame when every committed bucket is zero-row (zero-row
+            # buckets write no partition directory)
+            json.dump({"n_buckets": n_buckets,
+                       "schema_json": df.schema.json()}, fh)
         os.replace(tmp, meta_path)
 
     if "bucket" in df.columns:
@@ -161,10 +165,17 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back only committed buckets (a zero-row bucket has a manifest
-    but no partition directory — skipped)."""
+    but no partition directory — skipped; if ALL committed buckets are
+    empty, returns a typed empty DataFrame from the recorded schema)."""
     done = sorted(completed_buckets(out_dir))
     paths = [p for p in (os.path.join(out_dir, f"bucket={b}") for b in done)
              if os.path.isdir(p)]
+    if not paths:
+        import pyspark.sql.types as T
+        with open(os.path.join(out_dir, "_lineage", "meta.json")) as fh:
+            schema = T.StructType.fromJson(json.loads(
+                json.load(fh)["schema_json"]))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 
 

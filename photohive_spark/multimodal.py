@@ -91,7 +91,7 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     — no per-row pandas (r1's iterrows anti-pattern removed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .batch_kernels import signal_stats_batch
+        from .batch_kernels import length_groups, signal_stats_batch
         names = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
         for pdf in batches:
             n_rows = len(pdf)
@@ -110,10 +110,7 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
             rms_std = np.zeros(n_rows)
             sh_avg = np.zeros(n_rows)
             bands: list = [None] * n_rows
-            groups: dict[int, list[int]] = {}
-            for i, x in enumerate(xs):
-                groups.setdefault(len(x), []).append(i)
-            for _, idxs in groups.items():
+            for _, idxs in length_groups(xs).items():
                 st = signal_stats_batch(np.stack([xs[i] for i in idxs]), cfg)
                 for pos, i in enumerate(idxs):
                     rms_mean[i] = st["rms_mean"][pos]

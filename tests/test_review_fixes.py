@@ -202,3 +202,16 @@ def test_sample_threshold_rounds_not_truncates():
     assert _thresh(0.29) == 2900          # 0.29*10000 = 2899.999... in fp64
     assert _thresh(0.25) == 2500
     assert _thresh(1.0) == 10000 and _thresh(0.0) == 0
+
+
+def test_read_result_all_empty_buckets(spark, tmp_path):
+    """read_result on a fully-empty committed output returns a typed empty
+    DataFrame (from the schema recorded in meta.json), not a crash."""
+    from photohive_spark import lineage
+    empty = spark.range(0).selectExpr("cast(id as string) as doc_id",
+                                      "id as v")
+    out_dir = str(tmp_path / "empty_read")
+    lineage.run_resumable(spark, empty, out_dir, n_buckets=2)
+    got = lineage.read_result(spark, out_dir)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["doc_id", "v"]
