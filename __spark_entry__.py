@@ -517,6 +517,27 @@ def q_corpus_clean(spark, sf_dir):
     return q.join(winners, "doc_id").join(lang, "doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 'benchmark' is docs 0-19 of the
+    corpus itself, so those docs (and any shingle-overlapping neighbors)
+    must be dropped; output = the surviving clean corpus."""
+    docs = _docs_str(spark, sf_dir)
+    bench = docs.where(F.col("doc_id").cast("long") < 20)
+    return dedup.decontaminate(docs, bench, k=_SHINGLE_K, threshold=0.5) \
+        .select("doc_id", "source")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality score (KenLM stand-in)."""
+    return text.unigram_logprob(tokens_table(spark, sf_dir))
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-bigram coverage, duplicate-word
+    fraction)."""
+    return text.repetition_stats(_docs_str(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs_str(spark, sf_dir))
 
@@ -675,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "length_percentiles": q_length_percentiles,
+        "decontaminate": q_decontaminate,
+        "unigram_logprob": q_unigram_logprob,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1153,6 +1177,58 @@ select source, cast(n as bigint) as n_docs,
   arr[cast(floor((n - 1) * 0.9) as int) + 1] as p90,
   arr[cast(floor((n - 1) * 0.99) as int) + 1] as p99
 from g order by source
+"""
+
+    sql["decontaminate"] = f"""
+with bench as (select doc_id, text from {_DOCS}
+               where cast(doc_id as bigint) < 20),
+  bsh as (select distinct shingle
+          from (select unnest({_SHINGLES}) as shingle from bench)),
+  dsh as (select doc_id, unnest({_SHINGLES}) as shingle from {_DOCS}),
+  sizes as (select doc_id, count(*) as n_sh from dsh group by doc_id),
+  hits as (select d.doc_id, count(*) as n_hit
+           from dsh d join bsh on d.shingle = bsh.shingle
+           group by d.doc_id),
+  contaminated as (
+    select s.doc_id from sizes s join hits h on s.doc_id = h.doc_id
+    where h.n_hit >= s.n_sh * 0.5)
+select doc_id, source from {_DOCS}
+where doc_id not in (select doc_id from contaminated)
+"""
+
+    sql["unigram_logprob"] = f"""
+with toks as (select doc_id, unnest(tokens) as t from {_TOKENS}),
+  freq as (select t, count(*) as cnt from toks group by t),
+  tot as (select cast(sum(cnt) as bigint) as total from freq),
+  lp as (select doc_id,
+           cast(round(ln(cnt / cast(total as double)) * 1000000.0) as bigint)
+             as lp
+         from toks join freq using (t) cross join tot),
+  s as (select doc_id, cast(sum(lp) as bigint) as lp_sum, count(*) as n
+        from lp group by doc_id)
+select doc_id, cast(n as int) as n_tok,
+       round(lp_sum / (1000000.0 * n), 6) as avg_logprob
+from s
+"""
+
+    sql["repetition"] = f"""
+with b as (
+  select doc_id,
+    cast(len({_WORDS}) as int) as n_words,
+    cast(len(list_distinct({_WORDS})) as int) as n_distinct,
+    unnest(case when len({_WORDS}) < 2 then []
+                else list_transform(range(1, len({_WORDS})),
+                       i -> {_WORDS}[i] || ' ' || {_WORDS}[i + 1]) end) as bg
+  from {_DOCS}),
+  counts as (select doc_id, n_words, n_distinct, bg, count(*) as cnt
+             from b group by doc_id, n_words, n_distinct, bg),
+  top as (select doc_id, n_words, n_distinct,
+                 max(cnt) as top_bg, cast(sum(cnt) as bigint) as n_bg
+          from counts group by doc_id, n_words, n_distinct)
+select doc_id, n_words,
+  round(top_bg / cast(n_bg as double), 6) as top_bigram_frac,
+  round(1.0 - n_distinct / cast(n_words as double), 6) as dup_word_frac
+from top
 """
 
     sql["lang_id"] = f"""

@@ -242,6 +242,30 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sim
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing >= ``threshold``
+    of their word k-gram shingles with ANY benchmark document — the
+    standard test-set-overlap removal stage of an LLM data pipeline.
+
+    Returns the CLEAN docs (original columns). Scale: the benchmark
+    shingle set is tiny next to the corpus — distinct it and broadcast the
+    semi-join side, so the corpus is scanned once with no corpus-side
+    shuffle beyond the per-doc hit count.
+    """
+    doc_sh = word_shingles(docs, text_col, id_col, k)
+    bench_sh = (word_shingles(benchmark, text_col, id_col, k)
+                .select("shingle").distinct())
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+            .groupBy(id_col).agg(F.count("*").alias("n_hit")))
+    contaminated = (sizes.join(hits, on=id_col)
+                    .where(F.col("n_hit") >= F.col("n_sh") * threshold)
+                    .select(id_col))
+    return docs.join(contaminated, on=id_col, how="left_anti")
+
+
 def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3, bands: int = 4,

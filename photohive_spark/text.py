@@ -76,6 +76,58 @@ def token_counts(docs: DataFrame, text_col: str = "text",
         F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("bpe_tokens"))
 
 
+def unigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
+                    tokens_col: str = "tokens") -> DataFrame:
+    """Corpus-frequency language-model score (the KenLM-stand-in quality
+    filter): avg token log-prob under the corpus's own unigram
+    distribution. Low scores = out-of-distribution / junk docs.
+
+    Two passes: (1) one groupBy builds the token->count table (<= vocab
+    rows — broadcast back), (2) per-doc mean of ln(count/total).
+    Determinism: each token's log-prob is rounded to integer MICRO-nats
+    first, so the per-doc sum is an exact bigint in any order/engine.
+    """
+    toks = tokens_df.select(F.col(id_col), F.explode(tokens_col).alias("t"))
+    freq = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp = F.round(F.log(F.col("cnt") / F.col("total")) * 1e6).cast("bigint")
+    scored = (toks.join(F.broadcast(freq.crossJoin(total)), on="t")
+              .groupBy(id_col)
+              .agg(F.sum(lp).alias("lp_sum"), F.count("*").alias("n")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n").cast("int").alias("n_tok"),
+        F.round(F.col("lp_sum") / (1e6 * F.col("n")), 6).alias("avg_logprob"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: fraction of the doc covered by its
+    most frequent word bigram, and the duplicate-word fraction
+    (1 - distinct/total). High values = boilerplate / spam."""
+    words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+    # <2 words -> no bigrams -> doc dropped by the explode (consistent
+    # with the DuckDB oracle; avoids engine-divergent concat-null rules)
+    bigrams = (f"case when size({words}) < 2 then array() "
+               f"else transform(sequence(1, size({words}) - 1), "
+               f"i -> concat(element_at({words}, i), ' ', "
+               f"element_at({words}, i + 1))) end")
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.expr(words)).alias("n_words"),
+        F.size(F.expr(f"array_distinct({words})")).alias("n_distinct"),
+        F.explode(F.expr(bigrams)).alias("bg"))
+    counts = (base.groupBy(id_col, "n_words", "n_distinct", "bg")
+              .agg(F.count("*").alias("cnt")))
+    top = (counts.groupBy(id_col, "n_words", "n_distinct")
+           .agg(F.max("cnt").alias("top_bg"), F.sum("cnt").alias("n_bg")))
+    return top.select(
+        id_col, "n_words",
+        F.round(F.col("top_bg") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+         .alias("dup_word_frac"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of normalized text (lower, collapsed

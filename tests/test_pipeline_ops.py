@@ -298,3 +298,42 @@ def test_sampling_deterministic_and_rate(spark, docs):
     # subset property: a 10% sample is contained in the 25% sample
     small = {r.doc_id for r in sampling.hash_sample(docs, 0.10).collect()}
     assert small <= set(a)
+
+
+def test_decontaminate_drops_benchmark_overlap(spark, docs):
+    """Docs identical to a benchmark doc are dropped; unrelated docs
+    survive; threshold controls partial-overlap removal."""
+    bench = spark.createDataFrame(
+        [("b0", "the cat sat on the mat and looked at the dog")],
+        "doc_id string, text string")
+    clean = {r.doc_id
+             for r in dedup.decontaminate(docs, bench, threshold=0.5).collect()}
+    assert "d0" not in clean and "d1" not in clean   # exact benchmark dups
+    assert "d3" in clean and "d4" in clean           # unrelated docs kept
+    # d2 shares most shingles with the benchmark doc (one word differs)
+    assert "d2" not in clean
+    # threshold=1.01 keeps everything (no doc is >100% contaminated)
+    assert dedup.decontaminate(docs, bench, threshold=1.01).count() == 7
+
+
+def test_unigram_logprob_ranks_rare_docs_lower(spark):
+    rows = [("c{}".format(i), "common common common") for i in range(9)]
+    rows.append(("rare", "zzzqqq xxyyzz wwvvuu"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    from photohive_spark.tokenize import SPARK_TOKENS_EXPR
+    toks = docs.select("doc_id", F.expr(SPARK_TOKENS_EXPR).alias("tokens"))
+    got = {r.doc_id: r.avg_logprob
+           for r in text.unigram_logprob(toks).collect()}
+    assert got["rare"] < got["c0"]                   # OOD doc scores lower
+    assert all(v < 0 for v in got.values())          # log-probs are negative
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [("rep", "buy now buy now buy now buy now"),
+         ("var", "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert got["rep"].top_bigram_frac > 0.5 > got["var"].top_bigram_frac
+    assert got["rep"].dup_word_frac > 0.5
+    assert got["var"].dup_word_frac == 0.0
