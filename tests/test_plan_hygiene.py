@@ -74,3 +74,17 @@ def test_codegen_covers_tokenizer(spark, sf_dir):
     # are not codegen'd) but stays JVM-side
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast (semi-join side), so the
+    corpus is never shuffled for the contamination check."""
+    plan = _plan(E.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_unigram_logprob_broadcasts_freq(spark, sf_dir):
+    """The token-frequency table (<= vocab rows) must broadcast back onto
+    the exploded corpus, not shuffle-join it."""
+    plan = _plan(E.q_unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
