@@ -1355,10 +1355,11 @@ where {cos} >= 0.3
     # snap_rel_s = doc_id*37 and probe_rel_s = doc_id*37 + 3600 exactly.
     # rms_mean/hist_entropy are sequential folds matching the kernel at 6dp.
     # KNOWN FRAGILITY CLASS (accepted): unlike the pure-SQL-both-sides
-    # oracles, this one (and sharpness_rois) compares numpy kernel output
-    # (pairwise sums, SIMD log) against DuckDB folds; agreement relies on
-    # the ~1e-14 reduction difference never straddling a 5e-7 rounding
-    # boundary — empirically exact at sf0.001/0.01/0.1 (the gate's SFs).
+    # oracles, this one (and sharpness_rois; unigram_logprob's ln() is the
+    # same class) compares numpy/JVM math against DuckDB's; agreement
+    # relies on the ~1e-14 implementation differences never straddling a
+    # rounding boundary — empirically exact at sf0.001/0.01/0.1 (the
+    # gate's SFs).
     sql["feature_asof"] = f"""
 with tok as (select doc_id, cast(doc_id as bigint) * 37 as snap_rel_s, tokens
              from {_TOKENS}),

@@ -250,17 +250,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     standard test-set-overlap removal stage of an LLM data pipeline.
 
     Returns the CLEAN docs (original columns). Scale: the benchmark
-    shingle set is tiny next to the corpus — distinct it and broadcast the
-    semi-join side, so the corpus is scanned once with no corpus-side
-    shuffle beyond the per-doc hit count.
+    shingle set is tiny next to the corpus — distinct it and broadcast it
+    as a hit flag onto the corpus shingles, so the expensive shingle
+    fan-out runs ONCE and the only corpus-side shuffle is the per-doc
+    (n_sh, n_hit) aggregation.
     """
     doc_sh = word_shingles(docs, text_col, id_col, k)
     bench_sh = (word_shingles(benchmark, text_col, id_col, k)
-                .select("shingle").distinct())
-    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    hits = (doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
-            .groupBy(id_col).agg(F.count("*").alias("n_hit")))
-    contaminated = (sizes.join(hits, on=id_col)
+                .select("shingle").distinct().withColumn("_hit", F.lit(1)))
+    flagged = doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left")
+    stats = (flagged.groupBy(id_col)
+             .agg(F.count("*").alias("n_sh"),
+                  F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit")))
+    contaminated = (stats
                     .where(F.col("n_hit") >= F.col("n_sh") * threshold)
                     .select(id_col))
     return docs.join(contaminated, on=id_col, how="left_anti")

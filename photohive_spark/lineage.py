@@ -66,6 +66,15 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
 
     Returns the manifest entries written this run.
     """
+    # reject reserved column BEFORE any side effects (meta.json must never
+    # record a pre-rename schema), and case-insensitively — Spark's default
+    # resolution would let withColumn('bucket', ...) clobber a caller's
+    # 'Bucket' column
+    if any(c.lower() == "bucket" for c in df.columns):
+        raise ValueError(
+            "input already has a 'bucket' column (any case) — it is "
+            "reserved for the partition key (rename the caller's column "
+            "before run_resumable)")
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     # pin n_buckets for the lifetime of this output dir: bucket membership
     # pmod(xxhash64, n) changes with n, so resuming under a different n
@@ -88,10 +97,6 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
                        "schema_json": df.schema.json()}, fh)
         os.replace(tmp, meta_path)
 
-    if "bucket" in df.columns:
-        raise ValueError(
-            "input already has a 'bucket' column — it is reserved for the "
-            "partition key (rename the caller's column before run_resumable)")
     done = completed_buckets(out_dir)
     missing = [b for b in range(n_buckets) if b not in done]
     if fail_after is not None:

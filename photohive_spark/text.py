@@ -85,7 +85,12 @@ def unigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
     Two passes: (1) one groupBy builds the token->count table (<= vocab
     rows — broadcast back), (2) per-doc mean of ln(count/total).
     Determinism: each token's log-prob is rounded to integer MICRO-nats
-    first, so the per-doc sum is an exact bigint in any order/engine.
+    first, so the per-doc sum is ORDER-independent (an exact bigint).
+    Cross-engine exactness additionally relies on JVM Math.log and the
+    oracle engine's libm agreeing at the round() boundary — a last-ulp
+    disagreement on one ratio would shift that token's micro-nat by 1
+    (same accepted fragility class as the numpy-vs-SQL oracles;
+    empirically exact at the gate's scale factors).
     """
     toks = tokens_df.select(F.col(id_col), F.explode(tokens_col).alias("t"))
     freq = toks.groupBy("t").agg(F.count("*").alias("cnt"))

@@ -77,10 +77,13 @@ def test_codegen_covers_tokenizer(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
-    """The benchmark shingle set must broadcast (semi-join side), so the
-    corpus is never shuffled for the contamination check."""
+    """The benchmark shingle set must broadcast as a hit flag, and the
+    corpus shingle fan-out must run exactly once: 3 scans of documents
+    total (corpus shingles + the final anti-join's docs side + the tiny
+    benchmark side) — a 4th would mean the fan-out subtree is duplicated."""
     plan = _plan(E.q_decontaminate(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 3, plan
 
 
 def test_unigram_logprob_broadcasts_freq(spark, sf_dir):
