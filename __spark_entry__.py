@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from photohive_spark import dedup, pit, similarity, text
-from photohive_spark.config import DEFAULT_CONFIG as CFG, VOCAB_SIZE
+from photohive_spark.config import DEFAULT_CONFIG as CFG, SAT_MOD, VOCAB_SIZE
 from photohive_spark.engine import extract_features_df, feature_snapshots
 from photohive_spark.tokenize import (DUCKDB_TOKENS_SQL, SPARK_TOKENS_EXPR,
                                       tokens_table, validate_tokens)
@@ -575,14 +575,27 @@ def _digest(*cols: str) -> F.Column:
 
 
 def q_extract_features(spark, sf_dir):
+    """The flagship through the FULL engine (tokenize -> mapInPandas kernel
+    DAG), oracle-checked on its five SQL-expressible scalar features; the
+    FFT/palette array outputs are covered by q_extract_features_digest
+    (rows-only) and the engine's golden/parity tests."""
     feats = extract_features_df(tokens_table(spark, sf_dir), CFG)
     return feats.select(
-        "doc_id", "n_tok", "source", "event_ts",
+        "doc_id", "n_tok", "source",
         F.round("rms_mean", 6).alias("rms_mean"),
         F.round("rms_std", 6).alias("rms_std"),
         F.round("mean_norm_value", 6).alias("mean_norm_value"),
         F.round("hist_entropy", 6).alias("hist_entropy"),
-        F.round("sharpness_avg", 6).alias("sharpness_avg"),
+        F.round("sharpness_avg", 6).alias("sharpness_avg"))
+
+
+def q_extract_features_digest(spark, sf_dir):
+    """Array outputs of the flagship as a deterministic digest (rows-only:
+    FFT / palette kernels are not SQL-expressible) — pins token
+    passthrough and array determinism in the driver record."""
+    feats = extract_features_df(tokens_table(spark, sf_dir), CFG)
+    return feats.select(
+        "doc_id", "n_tok", "source", "event_ts",
         _digest("tokens", "hist_counts", "palette", "spectrum_bands",
                 "spectral_peaks", "autocorr", "bandpass_energy")
         .alias("arrays_digest"))
@@ -711,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HAVE exact oracles (DuckDB ASOF JOIN / literal hyperplanes /
         # literal centroids).
         "extract_features": q_extract_features,
+        "extract_features_digest": q_extract_features_digest,
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
@@ -1347,6 +1361,61 @@ with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
 select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cosine
 from e a join e b on a.vec_id < b.vec_id
 where {cos} >= 0.3
+"""
+
+    # ---- extract_features: the flagship's five scalar features
+    # recomputed in SQL (sequential folds; same accepted numpy-vs-SQL
+    # fragility class as feature_asof). Arrays are covered by the
+    # rows-only extract_features_digest + engine golden tests.
+    _zd = "cast(0.0 as double)"
+    _vd = f"cast({VOCAB_SIZE} as double)"
+    _sel02 = "list_filter(filt, v -> v > 0.2)"
+    sql["extract_features"] = f"""
+with tok as (select doc_id, tokens, source from {_TOKENS}),
+  u as (select doc_id, unnest(tokens) as t from tok),
+  cnts as (select doc_id, {bin_sql} as bin, count(*) as cnt
+           from u group by 1, 2),
+  ents as (select doc_id, sum(cnt) as tot,
+                  list_sort(list(struct_pack(bin := bin, cnt := cnt))) as bins
+           from cnts group by doc_id),
+  base as (
+    select tok.doc_id, tok.source, cast(len(tokens) as int) as n_tok,
+      cast(len(tokens) as double) as n,
+      list_transform(tokens, t -> cast(t as double) / {_vd}) as xs,
+      list_transform(tokens,
+        t -> cast(t % {SAT_MOD} as double) / cast({SAT_MOD} as double)) as ss,
+      {_DUCK_LAP} as filt,
+      coalesce(-list_reduce(list_prepend({_zd}, list_transform(e.bins,
+          b -> (b.cnt / cast(e.tot as double))
+               * ln(b.cnt / cast(e.tot as double)))),
+          (a, v) -> a + v), 0.0) as hist_entropy
+    from tok left join ents e on tok.doc_id = e.doc_id),
+  agg as (
+    select doc_id, source, n_tok, n, hist_entropy,
+      case when n = 0 then 0.0 else
+        list_reduce(list_prepend({_zd}, xs), (a, v) -> a + v) / n end as m,
+      case when n = 0 then 0.0 else
+        list_reduce(list_prepend({_zd}, ss), (a, v) -> a + v) / n end
+        as mean_norm,
+      list_reduce(list_prepend({_zd}, {_sel02}), (a, v) -> a + v) as ssum,
+      len({_sel02}) as scnt
+    from base),
+  agg2 as (
+    select a.doc_id, a.source, a.n_tok, a.hist_entropy, a.m, a.mean_norm,
+      a.ssum, a.scnt,
+      case when a.n = 0 then 0.0 else
+        list_reduce(list_prepend({_zd},
+          list_transform(b.xs, v -> (v - a.m) * (v - a.m))),
+          (p, q) -> p + q) / a.n end as variance
+    from agg a join base b on a.doc_id = b.doc_id)
+select doc_id, n_tok, source,
+  round(m, 6) as rms_mean,
+  round(sqrt(variance), 6) as rms_std,
+  round(mean_norm, 6) as mean_norm_value,
+  round(hist_entropy, 6) as hist_entropy,
+  round(case when scnt > 0 then ssum / scnt else 0.0 end, 6)
+    as sharpness_avg
+from agg2
 """
 
     # ---- feature_asof: DuckDB ASOF JOIN over SQL-recomputed kernel
