@@ -130,26 +130,62 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 
 
+def _seq_dot(p, q) -> float:
+    """Sequential fold — same FP order as the SQL/Catalyst dot products."""
+    acc = 0.0
+    for a, b in zip(p, q):
+        acc += float(a) * float(b)
+    return acc
+
+
+def query_signature(planes: np.ndarray, query_vec: list[float]) -> int:
+    """Sign-LSH bucket id of a query vector (driver-side, matches
+    lsh_bucket_expr bit-for-bit)."""
+    return int(sum((1 << j) for j, p in enumerate(planes)
+                   if _seq_dot(p, query_vec) > 0))
+
+
+def write_lsh_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = 64,
+                    n_planes: int = 8, seed: int = 42) -> None:
+    """Materialize the ANN index: embeddings written PARTITIONED BY the
+    LSH bucket id, so a query's scan prunes to exactly one partition
+    directory (1/2^n_planes of the corpus never leaves disk). This is the
+    scale path the filter-based lsh_topk only approximates."""
+    v = F.col(vec_col).cast("array<double>")
+    planes = hyperplanes(dim, n_planes, seed)
+    (emb.select(F.col(id_col), v.alias("v"),
+                lsh_bucket_expr(v, planes).alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", n_planes: int = 8,
+                     seed: int = 42) -> DataFrame:
+    """ANN top-k over a write_lsh_index table: the bucket equality filter
+    is a PartitionFilter (asserted in tests), so only the query's
+    partition directory is scanned."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qsig = query_signature(planes, query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (spark.read.parquet(path).where(F.col("bucket") == qsig)
+            .select(id_col,
+                    F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket.
 
-    At scale the table is written bucketed/partitioned by the LSH bucket id
-    so this is a single-partition scan (partition pruning); here the filter
-    still prunes the scored set to ~corpus/2^n_planes rows.
+    Computes buckets on the fly (one scan, filter prunes the scored set to
+    ~corpus/2^n_planes rows); see write_lsh_index/lsh_topk_indexed for the
+    materialized variant where the filter becomes partition PRUNING.
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-
-    def _seq_dot(p, q):  # sequential fold — same FP order as the SQL path
-        acc = 0.0
-        for a, b in zip(p, q):
-            acc += float(a) * float(b)
-        return acc
-
-    qsig = int(sum((1 << j) for j, p in enumerate(planes)
-                   if _seq_dot(p, query_vec) > 0))
+    qsig = query_signature(planes, query_vec)
     v = F.col(vec_col).cast("array<double>")
     bucketed = emb.select(F.col(id_col), v.alias("v"),
                           lsh_bucket_expr(v, planes).alias("bucket"))

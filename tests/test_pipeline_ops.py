@@ -337,3 +337,23 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got["rep"].top_bigram_frac > 0.5 > got["var"].top_bigram_frac
     assert got["rep"].dup_word_frac > 0.5
     assert got["var"].dup_word_frac == 0.0
+
+
+def test_lsh_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized ANN index must (a) return the same top-k as the
+    on-the-fly lsh_topk and (b) scan only the query's bucket partition —
+    the bucket predicate shows up as a PartitionFilter, not a data filter."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+    path = str(tmp_path / "lsh_index")
+    similarity.write_lsh_index(emb, path, n_planes=4)
+
+    got = similarity.lsh_topk_indexed(spark, path, q, k=10, n_planes=4)
+    want = similarity.lsh_topk(emb, q, k=10, n_planes=4)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == \
+           [(r.vec_id, r.cosine) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan and \
+           "(bucket" in plan.split("PartitionFilters")[1][:80], plan
