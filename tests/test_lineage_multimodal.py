@@ -132,3 +132,19 @@ def test_media_features_match_per_doc_kernels(media):
         assert np.allclose(g.spectrum_bands,
                            K.spectrum_bands(x, CFG.radius_parts, CFG),
                            rtol=1e-9)
+
+
+def test_multi_wave_commit(spark, sf_dir, tmp_path):
+    """buckets_per_wave chunks the missing buckets into several
+    single-action waves; manifests record each wave's membership and the
+    final table is complete."""
+    toks = tokens_table(spark, sf_dir).limit(60)
+    feats = extract_features_df(toks).drop("palette", "spectral_peaks")
+    out_dir = str(tmp_path / "waves")
+    entries = lineage.run_resumable(spark, feats, out_dir, n_buckets=6,
+                                    buckets_per_wave=2)
+    assert len(entries) == 6
+    waves = {tuple(e["wave_buckets"]) for e in entries}
+    assert waves == {(0, 1), (2, 3), (4, 5)}
+    assert sum(e["rows"] for e in entries) == 60
+    assert lineage.read_result(spark, out_dir).count() == 60
