@@ -96,7 +96,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_perm: int = NUM_PERM, bands: int = LSH_BANDS,
                       threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      materialize: str = "local_checkpoint") -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     jaccard >= threshold.
@@ -154,12 +155,26 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .distinct())
     # materialize candidates once: verify_jaccard consumes them twice (id
     # semi-join + intersection join) and recomputing the whole LSH banding
-    # subtree per consumer doubles the cost. localCheckpoint (not persist)
-    # so the blocks are released by the ContextCleaner as soon as the
-    # returned plan is GC'd — no storage-memory leak across repeated calls
-    # (r1 left a persist() unreleased). On a fault-prone cluster swap for
-    # checkpoint() to a reliable dir.
-    cand = cand.localCheckpoint(eager=False)
+    # subtree per consumer doubles the cost. Strategy is a knob because the
+    # tradeoffs differ by deployment:
+    # - "local_checkpoint" (default, right for local/ephemeral runs):
+    #   truncates lineage AND lets the ContextCleaner release blocks when
+    #   the plan is GC'd (r1 leaked an unreleased persist()); BUT losing an
+    #   executor holding checkpoint blocks is unrecoverable — no recompute
+    #   path.
+    # - "checkpoint": reliable checkpoint to spark.checkpoint.dir —
+    #   survives executor loss; costs an fs write. Right for multi-node
+    #   clusters.
+    # - "persist": keeps lineage (recomputable on block loss); caller
+    #   should unpersist after the verify output is materialized.
+    if materialize == "local_checkpoint":
+        cand = cand.localCheckpoint(eager=False)
+    elif materialize == "checkpoint":
+        cand = cand.checkpoint(eager=False)
+    elif materialize == "persist":
+        cand = cand.persist()
+    elif materialize != "none":
+        raise ValueError(f"unknown materialize strategy {materialize!r}")
     return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 
 
@@ -245,9 +260,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Benchmark decontamination: drop training docs sharing >= ``threshold``
-    of their word k-gram shingles with ANY benchmark document — the
-    standard test-set-overlap removal stage of an LLM data pipeline.
+    """Benchmark decontamination: drop training docs whose word k-gram
+    shingles overlap the UNION of all benchmark documents' shingles by
+    >= ``threshold`` (pooled semantics: a doc overlapping 30% with each of
+    two disjoint benchmark docs counts 60% and is dropped) — the standard
+    test-set-overlap removal stage of an LLM data pipeline. For strict
+    per-benchmark-doc semantics, group hits by benchmark doc and take the
+    max instead of pooling.
 
     Returns the CLEAN docs (original columns). Scale: the benchmark
     shingle set is tiny next to the corpus — distinct it and broadcast it
@@ -311,26 +330,39 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
-                         max_iters: int = 50) -> DataFrame:
-    """Connected components over near-dup pairs by min-label propagation:
-    every node's label converges to the smallest id in its component —
-    the canonical 'dedup cluster representative' assignment downstream of
-    minhash_lsh_pairs / ngram_jaccard_pairs.
+                         max_iters: int = 50,
+                         method: str = "propagate") -> DataFrame:
+    """Connected components over near-dup pairs — the canonical 'dedup
+    cluster representative' assignment downstream of minhash_lsh_pairs /
+    ngram_jaccard_pairs. Every node's label converges to the smallest id
+    in its component.
 
     Returns (id_col, component). Nodes absent from ``pairs`` are singleton
     components labelled by themselves.
 
-    Scale notes: each round is one join + one groupBy (two shuffles), and
-    rounds = O(component diameter) — near-dup clusters are shallow (most
-    are stars around a template), so 3-5 rounds typically converge.
-    Labels are localCheckpoint'ed per round to truncate the growing plan
-    lineage. For adversarially deep graphs switch to alternating
-    small-star/large-star (same DataFrame ops, O(log n) rounds).
+    ``method="propagate"`` (default): min-label propagation. Each round is
+    one join + one groupBy, and rounds = O(component DIAMETER) — near-dup
+    clusters are shallow (stars around a template), so 3-5 rounds typically
+    converge. Labels are localCheckpoint'ed per round to truncate lineage.
+
+    ``method="star"``: alternating small-star/large-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    regardless of diameter, for adversarially deep dup chains where
+    propagation would need diameter rounds.
     """
+    if method == "star":
+        return _star_components(pairs, nodes, id_col, max_iters)
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r} "
+                         "(expected 'propagate' or 'star')")
+    # materialize the (possibly expensive — LSH banding, jaccard verify)
+    # pair-discovery subtree ONCE: the loop re-executes `edges` every
+    # round, and only labels were checkpointed before.
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(
                  pairs.select(F.col("id_b").alias("src"),
-                              F.col("id_a").alias("dst"))))
+                              F.col("id_a").alias("dst")))
+             .localCheckpoint(eager=False))
     labels = nodes.select(F.col(id_col),
                           F.col(id_col).alias("component")).distinct() \
                   .localCheckpoint(eager=False)
@@ -352,7 +384,62 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # O(log n) small-star/large-star variant)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
-        f"(component diameter exceeds max_iters; raise max_iters)")
+        f"(component diameter exceeds max_iters; raise max_iters or use "
+        f"method='star')")
+
+
+def _star_edges_fixpoint(e: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
+    """Alternate large-star / small-star on a canonical (hi > lo) edge set
+    until it stops changing. Returns (star edges, rounds used).
+
+    Invariants per round (each is two joins + two groupBys — shuffle count
+    independent of graph depth):
+    - large-star: for each node u, every STRICTLY LARGER neighbor v is
+      re-pointed at m = min(neighbors(u) + u);
+    - small-star: each edge directed hi -> lo; for each hi, all its lo
+      neighbors and hi itself re-point at the minimum lo.
+    Fixpoint = disjoint stars rooted at each component's minimum id
+    (Kiveris et al. 2014; O(log^2 n) worst case, O(log n) in practice —
+    the deep-chain property test observes ~log2(n) rounds)."""
+    e = e.localCheckpoint(eager=False)
+    for rounds in range(1, max_iters + 1):
+        # large-star over the undirected adjacency
+        adj = e.select("hi", "lo").unionByName(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
+        mins = adj.groupBy("hi").agg(F.min("lo").alias("m"))
+        large = (adj.join(mins, on="hi")
+                 .where(F.col("lo") > F.col("hi"))
+                 .select(F.col("lo").alias("hi"),
+                         F.least("hi", "m").alias("lo"))
+                 .where(F.col("hi") != F.col("lo")).distinct())
+        # small-star over larger->smaller edges
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        keyed = large.join(mins2, on="hi")
+        new = (keyed.where(F.col("lo") != F.col("m"))
+               .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+               .unionByName(mins2.select("hi", F.col("m").alias("lo")))
+               .where(F.col("hi") != F.col("lo")).distinct()
+               .localCheckpoint(eager=False))
+        changed = (new.exceptAll(e).count() + e.exceptAll(new).count())
+        e = new
+        if changed == 0:
+            return e, rounds
+    raise RuntimeError(
+        f"star connected_components did not converge in {max_iters} rounds")
+
+
+def _star_components(pairs: DataFrame, nodes: DataFrame, id_col: str,
+                     max_iters: int) -> DataFrame:
+    e = (pairs.select(F.greatest("id_a", "id_b").alias("hi"),
+                      F.least("id_a", "id_b").alias("lo"))
+         .where(F.col("hi") != F.col("lo")).distinct())
+    stars, _ = _star_edges_fixpoint(e, max_iters)
+    members = stars.select(F.col("hi").alias(id_col),
+                           F.col("lo").alias("component"))
+    return (nodes.select(id_col).distinct()
+            .join(members, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("component")))
 
 
 def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",

@@ -178,8 +178,17 @@ def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
     if not paths:
         import pyspark.sql.types as T
         with open(os.path.join(out_dir, "_lineage", "meta.json")) as fh:
-            schema = T.StructType.fromJson(json.loads(
-                json.load(fh)["schema_json"]))
+            schema_json = json.load(fh).get("schema_json")
+        if schema_json is None:
+            # meta.json written before schema_json existed: no partition
+            # dirs and no recorded schema -> nothing to type the empty
+            # result with; a clear error beats a KeyError.
+            raise ValueError(
+                f"{out_dir}: all committed buckets are empty and the "
+                f"legacy meta.json has no 'schema_json' — re-run the "
+                f"pipeline (new manifests record the schema) or read a "
+                f"non-empty output")
+        schema = T.StructType.fromJson(json.loads(schema_json))
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 

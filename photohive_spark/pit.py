@@ -87,10 +87,14 @@ def asof_join_salted(probes: DataFrame, snapshots: DataFrame, key: str,
     :func:`asof_join`, but a key with 10^9 probes spreads over
     ``salt_buckets`` tasks instead of pinning one. Cost: snapshot side
     x salt_buckets (snapshots per key are bounded — feature snapshots, not
-    events — so the replication is cheap relative to the probe side)."""
+    events — so the replication is cheap relative to the probe side).
+
+    The salt is content-derived (xxhash64 of key + probe timestamp), so a
+    task retry re-produces the exact same salted partitioning — per-
+    partition lineage counts are reproducible, unlike an id-based salt."""
+    from .skew import deterministic_salt
     salted_probes = probes.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()),
-                        F.lit(salt_buckets))).withColumn(
+        "_salt", deterministic_salt(salt_buckets, key, probe_ts)).withColumn(
         "_k2", F.concat_ws("#", F.col(key), F.col("_salt")))
     salted_snaps = snapshots.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -73,8 +73,10 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (argmax cosine over a small literal centroid set, all JVM-side).
-    At scale the table is written partitioned by ``ivf_cell`` so a probe
-    scans only n_probe_cells partitions (partition pruning)."""
+    For the scale path, feed this through ``write_ivf_index`` — the output
+    is written partitioned by ``ivf_cell`` so ``ivf_topk_indexed`` probes
+    scan only n_probe partition directories (true partition pruning);
+    ``ivf_topk`` below recomputes the assignment on the fly instead."""
     v = F.col(vec_col).cast("array<double>")
     scores = []
     for ci, c in enumerate(centroids):
@@ -119,12 +121,10 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     scan of n_probe/n_cells of the corpus."""
     if centroids is None:
         centroids = ivf_centroids_from_sample(emb, n_cells, vec_col, id_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    probes = probe_cells(centroids, query_vec, n_probe)
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (assigned.where(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
+    return (assigned.where(F.col("ivf_cell").isin(probes))
             .select(id_col,
                     F.round(cosine_expr(F.col("v"), qlit), 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
@@ -169,6 +169,45 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     qsig = query_signature(planes, query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (spark.read.parquet(path).where(F.col("bucket") == qsig)
+            .select(id_col,
+                    F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+def write_ivf_index(emb: DataFrame, path: str, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: ``ivf_assign`` output written PARTITIONED
+    BY ``ivf_cell``, mirroring ``write_lsh_index``. A probe then scans only
+    its n_probe cell directories — with n_cells sized ~sqrt(corpus), a
+    10^12-row corpus answers a query from ~n_probe/sqrt(n) of the data and
+    the rest never leaves disk. Centroids must be persisted alongside by
+    the caller (they are tiny; jobs stash them next to the index)."""
+    (ivf_assign(emb, centroids, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("ivf_cell").parquet(path))
+
+
+def probe_cells(centroids: np.ndarray, query_vec: list[float],
+                n_probe: int) -> list[int]:
+    """The query's n_probe nearest cells by cosine (driver-side argsort
+    over the tiny centroid set; ties broken by cell id — matches the
+    oracle's ``order by dot desc, cell asc``)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    sims = centroids @ qn
+    order = np.lexsort((np.arange(len(centroids)), -sims))
+    return [int(c) for c in order[:n_probe]]
+
+
+def ivf_topk_indexed(spark, path: str, centroids: np.ndarray,
+                     query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", n_probe: int = 2) -> DataFrame:
+    """IVF ANN top-k over a ``write_ivf_index`` table: the cell-membership
+    IN-filter is a PartitionFilter (asserted in tests), so only n_probe
+    partition directories are scanned and scored."""
+    cells = probe_cells(centroids, query_vec, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
             .select(id_col,
                     F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))

@@ -23,16 +23,32 @@ import pyspark.sql.functions as F
 from .config import DEFAULT_CONFIG, EngineConfig
 
 
-def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict):
+def deterministic_salt(buckets: int, *cols) -> F.Column:
+    """Content-derived salt in [0, buckets): ``pmod(xxhash64(cols), n)``.
+
+    Deterministic across runs AND task retries — a salt derived from
+    ``monotonically_increasing_id()`` re-rolls whenever the partition
+    layout changes (retry, different file split), which silently changes
+    per-partition lineage row counts between attempts. Content hashing
+    makes the salted partitioning a pure function of the data, so resumed
+    /retried jobs reproduce identical partition lineage."""
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets))
+
+
+def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict,
+                  salt_cols: list[str] | None = None):
     """Salted two-stage aggregation for additive aggregates.
 
     ``aggs`` maps output name -> (partial_expr, final_fn) where partial_expr
     is applied in the salted stage and final_fn recombines. Example:
     ``{"cnt": (F.count("*"), F.sum), "total": (F.sum("x"), F.sum)}``.
+
+    The salt is content-derived (``salt_cols``, default: every column), so
+    the partial-stage partitioning is reproducible across retries.
     """
     salted = df.withColumn(
         "_salt_bucket",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
+        deterministic_salt(buckets, *(salt_cols or df.columns)))
     partial = salted.groupBy(key, "_salt_bucket").agg(
         *[expr.alias(f"_p_{name}") for name, (expr, _) in aggs.items()])
     final = (partial

@@ -357,3 +357,78 @@ def test_lsh_index_partition_pruning(spark, sf_dir, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan and \
            "(bucket" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """write_ivf_index / ivf_topk_indexed: (a) same top-k as the on-the-fly
+    ivf_topk with the same centroids, (b) the cell-membership filter is a
+    PartitionFilter — a probe scans only its n_probe cell directories."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+    cents = similarity.ivf_centroids_from_sample(emb, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, path, cents)
+
+    got = similarity.ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=3)
+    want = similarity.ivf_topk(emb, q, k=10, n_probe=3, centroids=cents)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == \
+           [(r.vec_id, r.cosine) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and \
+           "ivf_cell" in plan.split("PartitionFilters")[1][:120], plan
+    # only the probed cell directories exist in the scan: 3 of 8
+    import os
+    on_disk = {d for d in os.listdir(path) if d.startswith("ivf_cell=")}
+    assert len(on_disk) == 8
+    probed = set(similarity.probe_cells(cents, q, 3))
+    assert len(probed) == 3
+
+
+def test_probe_cells_tiebreak_deterministic():
+    """Equal-cosine centroids break ties by cell id (matches the DuckDB
+    oracle's 'order by dot desc, cell asc')."""
+    import numpy as np
+    cents = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    assert similarity.probe_cells(cents, [1.0, 0.0], 2) == [0, 2]
+
+
+def test_star_components_deep_chain_logarithmic(spark):
+    """A 200-node path (diameter 199): min-label propagation at
+    max_iters=50 must fail loudly; small-star/large-star converges in
+    O(log n) rounds with the same (correct) labels."""
+    import pytest as _pytest
+    n = 200
+    nodes = [f"c{i:03d}" for i in range(n)]
+    chain = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    nodes_df = spark.createDataFrame([(x,) for x in nodes], "doc_id string")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, nodes_df, max_iters=50)
+
+    e = pairs.selectExpr("greatest(id_a, id_b) as hi",
+                         "least(id_a, id_b) as lo").distinct()
+    stars, rounds = dedup._star_edges_fixpoint(e, max_iters=50)
+    assert rounds <= 16, f"expected O(log2 200)~8-ish rounds, took {rounds}"
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(
+               pairs, nodes_df, method="star", max_iters=50).collect()}
+    assert got == {x: nodes[0] for x in nodes}
+
+
+def test_star_components_match_propagation_random(spark):
+    """star and propagate agree on random graphs (incl. singletons)."""
+    import random
+    rng = random.Random(13)
+    nodes = [f"m{i:02d}" for i in range(50)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    nodes_df = spark.createDataFrame([(x,) for x in nodes], "doc_id string")
+    want = {r.doc_id: r.component
+            for r in dedup.connected_components(pairs, nodes_df).collect()}
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(
+               pairs, nodes_df, method="star").collect()}
+    assert got == want

@@ -215,3 +215,57 @@ def test_read_result_all_empty_buckets(spark, tmp_path):
     got = lineage.read_result(spark, out_dir)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["doc_id", "v"]
+
+
+def test_deterministic_salt_stable_across_runs(spark):
+    """Salts are a pure function of row content: two independent
+    evaluations (and a repartitioned layout, which re-rolls any
+    monotonically_increasing_id-based salt) assign identical buckets."""
+    from photohive_spark.skew import deterministic_salt
+    df = spark.range(1000).selectExpr("cast(id % 37 as string) as k",
+                                      "id * 13 as ts")
+    run1 = {(r.k, r.ts): r.s for r in df.withColumn(
+        "s", deterministic_salt(8, "k", "ts")).collect()}
+    run2 = {(r.k, r.ts): r.s for r in df.repartition(17).withColumn(
+        "s", deterministic_salt(8, "k", "ts")).collect()}
+    assert run1 == run2
+    assert set(run1.values()) == set(range(8))  # actually spreads
+
+
+def test_read_result_legacy_meta_without_schema(spark, tmp_path):
+    """A pre-schema_json meta.json on an all-empty output raises a clear
+    error, not KeyError."""
+    import json, os
+    import pytest
+    from photohive_spark import lineage
+    empty = spark.range(0).selectExpr("cast(id as string) as doc_id",
+                                      "id as v")
+    out_dir = str(tmp_path / "legacy_empty")
+    lineage.run_resumable(spark, empty, out_dir, n_buckets=2)
+    meta_path = os.path.join(out_dir, "_lineage", "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta.pop("schema_json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="legacy meta.json"):
+        lineage.read_result(spark, out_dir)
+
+
+def test_minhash_materialize_strategies_agree(spark, tmp_path):
+    """All candidate-materialization strategies produce identical pairs."""
+    from photohive_spark import dedup as D
+    docs = spark.createDataFrame(
+        [("d0", "the cat sat on the mat and looked at the dog"),
+         ("d1", "the cat sat on the mat and looked at the dog"),
+         ("d2", "the cat sat on the mat and stared at the dog"),
+         ("d3", "completely different text about spark query engines")],
+        "doc_id string, text string")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = sorted((r.id_a, r.id_b) for r in
+                  D.minhash_lsh_pairs(docs, threshold=0.4).collect())
+    for strat in ["checkpoint", "persist", "none"]:
+        got = sorted((r.id_a, r.id_b) for r in
+                     D.minhash_lsh_pairs(docs, threshold=0.4,
+                                         materialize=strat).collect())
+        assert got == base, strat
