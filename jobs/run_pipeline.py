@@ -40,7 +40,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from photohive_spark import lineage
-    from photohive_spark.engine import extract_features_df
+    from photohive_spark.engine import (extract_features_df,
+                                        kernel_stage_accumulators)
     from photohive_spark.skew import rebalance_by_cost
     from photohive_spark.tokenize import validate_tokens
 
@@ -51,11 +52,14 @@ def main() -> None:
     if args.rebalance:
         toks = rebalance_by_cost(toks)
     kernel_acc = spark.sparkContext.accumulator(0.0)
-    feats = extract_features_df(toks, time_acc=kernel_acc)
+    stage_accs = kernel_stage_accumulators(spark)
+    feats = extract_features_df(toks, time_acc=kernel_acc,
+                                stage_accs=stage_accs)
     entries = lineage.run_resumable(spark, feats, args.output,
                                     key_col="doc_id",
                                     n_buckets=args.n_buckets,
-                                    stage_accs={"kernel_s": kernel_acc})
+                                    stage_accs={"kernel_s": kernel_acc,
+                                                **stage_accs})
     done = lineage.completed_buckets(args.output)
     rows = sum(e["rows"] for e in entries)
     print(json.dumps({

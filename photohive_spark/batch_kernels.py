@@ -175,13 +175,30 @@ def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
     return out
 
 
-def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
-    """All features for one equal-length group. T: (m, n) int32, n >= 1."""
+def _group_features(T: np.ndarray, cfg: EngineConfig,
+                    timings: dict[str, float] | None = None) -> dict:
+    """All features for one equal-length group. T: (m, n) int32, n >= 1.
+
+    ``timings`` (optional) accumulates wall seconds per kernel FAMILY —
+    the per-stage analog of the reference's timing macros
+    (``src/utilities.h:10-18`` / README.md:63-75's 11 timed stages):
+    stats_s (rms+spectrum+sharpness), hist_s, autocorr_s, bandpass_s,
+    blur_fft_s (2-D framing+profile), palette_s, peaks_s."""
+    from time import perf_counter as _pc
+
+    def _mark(name: str, t0: float) -> float:
+        t1 = _pc()
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + (t1 - t0)
+        return t1
+
     m, n = T.shape
     Tl = T.astype(np.int64)
     x = Tl / float(VOCAB_SIZE)
 
+    _t = _pc()
     st = signal_stats_batch(x, cfg)
+    _t = _mark("stats_s", _t)
     rms_mean, rms_std = st["rms_mean"], st["rms_std"]
 
     # downsample applies to the hsv/histogram/palette path ONLY — the
@@ -202,6 +219,7 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
     with np.errstate(divide="ignore", invalid="ignore"):
         p = counts / counts.sum(axis=1, keepdims=True)
         ent = -np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0).sum(axis=1)
+    _t = _mark("hist_s", _t)
 
     # spectral family: bands from the shared stats; autocorr reuses the
     # power spectrum (Wiener–Khinchin) instead of a second rfft
@@ -215,9 +233,11 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         r0 = r[:, 0]
         ok = r0 > 0
         ac[ok, :k] = r[ok, :k] / r0[ok, None]
+    _t = _mark("autocorr_s", _t)
 
     # bandpass energy: batched direct circular convolution
     bp = _bandpass_energy_batch(x, cfg)
+    _t = _mark("bandpass_s", _t)
 
     # per-doc small aggregates: blur profile framing + peaks + palette
     peaks_list, pal_list = [], []
@@ -240,9 +260,12 @@ def _group_features(T: np.ndarray, cfg: EngineConfig) -> dict:
         prof = prof.reshape(m, na, nr)
     else:
         prof = np.zeros((m, na, nr))
+    _t = _mark("blur_fft_s", _t)
     pal_list = _palette_batch(h, s, v, g, counts, cfg)
+    _t = _mark("palette_s", _t)
     for i in range(m):
         peaks_list.append(K.spectral_peaks(prof[i], cfg))
+    _t = _mark("peaks_s", _t)
 
     return {
         "rms_mean": rms_mean, "rms_std": rms_std, "mean_norm_value": mean_norm,
@@ -295,12 +318,15 @@ def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
 
 
 def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
-                  rois_list: list | None = None) -> list[dict]:
+                  rois_list: list | None = None,
+                  timings: dict[str, float] | None = None) -> list[dict]:
     """Features for a whole Arrow batch, grouped by token length.
 
     ``rois_list`` (optional, parallel to ``token_arrays``) carries per-row
     [(start, end), ...] crop boundaries; per-ROI sharpness is a small
     per-row numpy op on top of the batched features (K.sharpness_rois).
+    ``timings`` (optional dict) accumulates per-kernel-family wall seconds
+    (see _group_features).
 
     Returns one dict per input row (same shape as engine.features_row)."""
     out: list[dict | None] = [None] * len(token_arrays)
@@ -322,7 +348,7 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
             continue
         T = np.stack([np.asarray(token_arrays[i], dtype=np.int32)
                       for i in idxs])
-        gf = _group_features(T, cfg)
+        gf = _group_features(T, cfg, timings)
         for row_pos, i in enumerate(idxs):
             out[i] = {
                 "rms_mean": float(gf["rms_mean"][row_pos]),

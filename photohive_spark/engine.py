@@ -109,18 +109,21 @@ def _roi_tuples(cell) -> list[tuple[int, int]] | None:
 
 
 def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
-                 time_acc=None):
+                 time_acc=None, stage_accs=None):
     """Build the mapInPandas function. The per-batch loop is Python over
     rows *within* an Arrow batch, but every kernel call is vectorized numpy
     over the whole token array — the reference's 'whole-plane vectorized'
     style (SURVEY §1.2); there is no Spark-level per-row Python.
 
-    ``time_acc`` (optional Spark accumulator) collects kernel wall seconds
-    across all workers — the reference's per-stage timing macros
-    (``src/utilities.h:10-18``), surfaced through lineage manifests.
-    Accumulators updated in transformations are at-least-once: task
-    retries / speculative duplicates overcount, so treat the timing as an
-    advisory profile, not an exact meter."""
+    ``time_acc`` (optional Spark accumulator) collects TOTAL kernel wall
+    seconds across all workers; ``stage_accs`` (optional dict name ->
+    accumulator, keys from batch_kernels._group_features: stats_s, hist_s,
+    autocorr_s, bandpass_s, blur_fft_s, palette_s, peaks_s) splits it per
+    kernel family — the per-stage analog of the reference's timing macros
+    (``src/utilities.h:10-18``; README.md:63-75 times 11 stages), surfaced
+    through lineage manifests. Accumulators updated in transformations are
+    at-least-once: task retries / speculative duplicates overcount, so
+    treat the timing as an advisory profile, not an exact meter."""
 
     feature_names = [f.name for f in FEATURE_FIELDS]
 
@@ -132,7 +135,13 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
             rois_list = None
             if roi_col is not None and roi_col in pdf.columns:
                 rois_list = [_roi_tuples(c) for c in pdf[roi_col]]
-            rows = batch_extract(list(pdf["tokens"]), cfg, rois_list)
+            timings = {} if stage_accs is not None else None
+            rows = batch_extract(list(pdf["tokens"]), cfg, rois_list,
+                                 timings=timings)
+            if stage_accs is not None:
+                for name, secs in timings.items():
+                    if name in stage_accs:
+                        stage_accs[name].add(secs)
             if time_acc is not None:
                 time_acc.add(_time.perf_counter() - t0)
             cols = {n: [r[n] for r in rows] for n in feature_names}
@@ -149,10 +158,21 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
     return extract
 
 
+KERNEL_STAGES = ("stats_s", "hist_s", "autocorr_s", "bandpass_s",
+                 "blur_fft_s", "palette_s", "peaks_s")
+
+
+def kernel_stage_accumulators(spark) -> dict:
+    """One Spark accumulator per kernel family (KERNEL_STAGES) — pass as
+    ``stage_accs`` to extract_features_df AND to lineage.run_resumable so
+    each wave's manifest records per-stage kernel seconds."""
+    return {n: spark.sparkContext.accumulator(0.0) for n in KERNEL_STAGES}
+
+
 def extract_features_df(tokens_df: DataFrame,
                         cfg: EngineConfig = DEFAULT_CONFIG,
                         roi_col: str | None = None,
-                        time_acc=None) -> DataFrame:
+                        time_acc=None, stage_accs=None) -> DataFrame:
     """tokens table -> feature-snapshot table (one row per doc_id×event_ts).
 
     ``roi_col`` names an optional array<struct<start:int,end:int>> column of
@@ -167,7 +187,7 @@ def extract_features_df(tokens_df: DataFrame,
     if roi_col is not None:
         cols.append(roi_col)
     return tokens_df.select(*cols).mapInPandas(
-        _make_kernel(cfg, roi_col, time_acc), FEATURE_SCHEMA)
+        _make_kernel(cfg, roi_col, time_acc, stage_accs), FEATURE_SCHEMA)
 
 
 def flatten_features(features: DataFrame, n_palette: int = 100,

@@ -66,19 +66,33 @@ def test_single_pass_over_input(spark, sf_dir, tmp_path):
 def test_stage_timings_in_manifest(spark, sf_dir, tmp_path):
     """Per-stage timing metrics (the reference's timing-macro analog):
     kernel seconds flow from the engine accumulator into each manifest."""
+    from photohive_spark.engine import KERNEL_STAGES, kernel_stage_accumulators
     toks = tokens_table(spark, sf_dir).limit(40)
     kacc = spark.sparkContext.accumulator(0.0)
-    feats = extract_features_df(toks, time_acc=kacc) \
+    stage_accs = kernel_stage_accumulators(spark)
+    feats = extract_features_df(toks, time_acc=kacc,
+                                stage_accs=stage_accs) \
         .drop("palette", "spectral_peaks")
     entries = lineage.run_resumable(spark, feats, str(tmp_path / "timed"),
                                     n_buckets=2,
-                                    stage_accs={"kernel_s": kacc})
+                                    stage_accs={"kernel_s": kacc,
+                                                **stage_accs})
     assert entries
     for e in entries:
         assert e["stage_s"]["write_s"] > 0
         assert e["stage_s"]["metrics_s"] > 0
         assert e["stage_s"]["kernel_s"] > 0
         assert e["wave_buckets"] == [0, 1]
+        # per-kernel-family split (>= 4 named stages, reference
+        # README.md:63-75's 11-stage timing analog): every family key is
+        # present, and the hot families actually accumulated time
+        assert len(KERNEL_STAGES) >= 4
+        for name in KERNEL_STAGES:
+            assert name in e["stage_s"], name
+        assert sum(e["stage_s"][n] for n in KERNEL_STAGES) > 0
+        # family split is consistent with the total (rounding slack)
+        assert sum(e["stage_s"][n] for n in KERNEL_STAGES) <= \
+            e["stage_s"]["kernel_s"] + 0.05
 
 
 @pytest.fixture(scope="module")

@@ -154,3 +154,98 @@ def test_sessionize_stream_backward_extension_fixpoint(spark, tmp_path):
     s1000 = t0 + dt.timedelta(seconds=1000)
     assert (s850, s1000, 3) in got, got
     assert not any(st == en == s850 for st, en, _ in got), got
+
+
+def test_sessionize_stream_property_matches_batch(spark, tmp_path):
+    """Property (advisor r2 stretch): for random event streams whose
+    arrival order deviates from event-time order by LESS THAN the session
+    gap (so no event can land beyond an already-closed session — the
+    regime where stream and batch semantics provably coincide), the
+    stateful sessionizer emits EXACTLY the batch pit.sessionize sessions,
+    excluding each user's sentinel-opened final session.
+
+    Batch files are written with pyarrow under controlled mtimes (the file
+    source processes oldest-mtime first), so each example runs in a couple
+    of seconds with a deterministic microbatch order. Out-of-gap straggler
+    arrivals (which legitimately diverge from batch — the watermark
+    tradeoff) are covered by the example tests above instead."""
+    import os
+    import time as _t
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    GAP = 100
+    SENTINEL = 100_000
+    t0 = dt.datetime(2026, 1, 1)
+
+    case_counter = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        offsets=st.lists(
+            st.tuples(st.sampled_from([1, 2]), st.integers(0, 3000)),
+            min_size=1, max_size=30),
+        jitters=st.lists(st.integers(-49, 49), min_size=31, max_size=31),
+        sizes=st.lists(st.integers(1, 8), min_size=10, max_size=10),
+    )
+    def run_case(offsets, jitters, sizes):
+        case_counter[0] += 1
+        case = case_counter[0]
+        users = sorted({u for u, _ in offsets})
+        events = list(offsets) + [(u, SENTINEL + u) for u in users]
+        jit = {i: jitters[i % len(jitters)] for i in range(len(events))}
+        arrival = sorted(range(len(events)),
+                         key=lambda i: (events[i][1] + jit[i], i))
+        batches, pos = [], 0
+        for s in sizes:
+            if pos >= len(arrival):
+                break
+            batches.append(arrival[pos:pos + s])
+            pos += s
+        if pos < len(arrival):
+            batches.append(arrival[pos:])
+
+        src = str(tmp_path / f"prop_{case}")
+        os.makedirs(src)
+        base = _t.time() - 10_000
+        for bi, idxs in enumerate(batches):
+            tbl = pa.table({
+                "user_id": pa.array([events[i][0] for i in idxs],
+                                    type=pa.int64()),
+                "ts": pa.array(
+                    np.array([int((t0 + dt.timedelta(
+                        seconds=events[i][1])).timestamp() * 1e6)
+                        for i in idxs], dtype="datetime64[us]")),
+            })
+            f = os.path.join(src, f"b{bi:03d}.parquet")
+            pq.write_table(tbl, f)
+            os.utime(f, (base + bi * 2, base + bi * 2))
+
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = f"prop_sess_{case}"
+        streaming.run_to_memory(
+            streaming.sessionize_stream(stream, gap_seconds=GAP,
+                                        watermark="10 minutes"), sink)
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql(f"select * from {sink}").collect())
+
+        all_df = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(seconds=s)) for u, s in events],
+            "user_id long, ts timestamp")
+        sentinel_ts = {u: t0 + dt.timedelta(seconds=SENTINEL + u)
+                       for u in users}
+        want = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in pit.session_stats(all_df, "user_id", "ts",
+                                       gap_seconds=GAP).collect()
+            if r.session_start != sentinel_ts[r.user_id])
+        assert got == want, (got, want)
+
+    run_case()
