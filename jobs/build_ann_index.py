@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entry point for building (and smoke-querying) the
+materialized ANN indexes over an embeddings table.
+
+Usage:
+
+  zip -r photohive_spark.zip photohive_spark
+  spark-submit --py-files photohive_spark.zip jobs/build_ann_index.py \\
+      --embeddings /path/to/embeddings_parquet --output /path/to/index \\
+      --kind lsh [--n-planes 8] [--seed 42]
+  spark-submit ... --kind ivf [--n-cells 64] [--sample 1024]
+
+The index is the embeddings table written PARTITIONED BY the coarse key
+(LSH bucket id / IVF cell id), so a query scans only its own partition
+directories — at 10^12 rows the pruned fraction (1/2^planes per LSH
+table, n_probe/n_cells for IVF) is the difference between an ANN query
+and a full corpus scan. IVF centroids are persisted as JSON next to the
+index (they are the query-side half of the index). Prints one JSON line.
+
+Reference precedent for materialize-once/reuse: the polar LUT cache
+(src/blur_profile.c:19-23).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--embeddings", required=True,
+                    help="parquet dir with (vec_id, embedding array<float>)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--n-planes", type=int, default=8)
+    ap.add_argument("--n-cells", type=int, default=8)
+    ap.add_argument("--sample", type=int, default=1024,
+                    help="IVF k-means training sample size (driver-side)")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from photohive_spark import similarity
+
+    spark = SparkSession.builder.appName("photohive-ann-index").getOrCreate()
+    t0 = time.time()
+    emb = spark.read.parquet(args.embeddings)
+    n = emb.count()
+    if args.kind == "lsh":
+        similarity.write_lsh_index(emb, args.output, dim=args.dim,
+                                   n_planes=args.n_planes, seed=args.seed)
+        meta = {"kind": "lsh", "dim": args.dim, "n_planes": args.n_planes,
+                "seed": args.seed}
+    else:
+        cents = similarity.ivf_centroids_from_sample(
+            emb, n_cells=args.n_cells, iters=5)
+        similarity.write_ivf_index(emb, args.output, cents)
+        meta = {"kind": "ivf", "dim": args.dim, "n_cells": args.n_cells,
+                "sample": args.sample,
+                "centroids": [[float(x) for x in c] for c in cents]}
+    # query-side metadata lives NEXT TO the data (like _lineage): a reader
+    # needs the same planes/centroids the writer used
+    with open(os.path.join(args.output, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    print(json.dumps({"kind": args.kind, "rows": n,
+                      "wall_s": round(time.time() - t0, 2),
+                      "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,37 @@ def test_spark_submit_pyfiles_run_and_resume(tmp_path, spark, sf_dir):
 
     from photohive_spark import lineage
     assert lineage.read_result(spark, out).count() == 80
+
+
+def test_spark_submit_build_ann_index(tmp_path, spark, sf_dir):
+    """build_ann_index job: writes a partitioned IVF index + query-side
+    centroid metadata; a reader reconstructs the exact ivf_topk result
+    from the on-disk index alone."""
+    import numpy as np
+    from photohive_spark import similarity
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "ivf_index")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "build_ann_index.py"),
+           "--embeddings", f"{sf_dir}/embeddings.parquet",
+           "--output", out, "--kind", "ivf", "--n-cells", "8"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["kind"] == "ivf" and stat["rows"] > 0
+
+    with open(os.path.join(out, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    cents = np.array(meta["centroids"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0].embedding]
+    got = similarity.ivf_topk_indexed(spark, out, cents, q, k=5, n_probe=3)
+    want = similarity.ivf_topk(emb, q, k=5, n_probe=3, centroids=cents)
+    assert [(r2.vec_id, r2.cosine) for r2 in got.collect()] == \
+           [(r2.vec_id, r2.cosine) for r2 in want.collect()]
