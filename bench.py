@@ -27,10 +27,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # flagship input is replicated to give the cluster enough work for a stable
-# throughput read: sf0.1 documents = 5k rows; x16 = 80k feature extractions
-# (~2.3 s at 32 cores). The r1 default x4 produced ~1 s walls at 32 cores,
-# where task-wave quantization dominated and understated throughput ~2x.
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
+# throughput read: sf0.1 documents = 5k rows; x64 = 320k feature extractions
+# (~2.5-3 s at 32 cores under the r3 Arrow batch sizing). History: r1's x4
+# produced ~1 s walls where task-wave quantization understated throughput
+# ~2x; r2's x16 hit the same wall once the r3 batching made kernels 2.5x
+# faster.
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "64"))
 
 HEADLINE = ["extract_features", "asof_join", "sessionize", "minhash_lsh",
             "similarity_topk", "hist", "rms_stats", "feature_asof",
@@ -211,8 +213,11 @@ def _mp_chunk(seed: int) -> None:
     rng = np.random.default_rng(seed)
     arrays = [rng.integers(0, 50257, int(m), dtype=np.int32)
               for m in rng.integers(20, 90, 2000)]
-    for i in range(0, len(arrays), 256):
-        batch_extract(arrays[i:i + 256], CFG)
+    # one call per 2000-row chunk — matches the Arrow batch shape Spark
+    # workers see under the r3 default (arrow_batch_rows=8192, so a 2000-row
+    # control chunk is the conservative side of the same regime; the old
+    # 256-row stepping measured the ceiling of a batch size we no longer use)
+    batch_extract(arrays, CFG)
 
 
 def run_scaling() -> dict:

@@ -60,7 +60,14 @@ class EngineConfig:
     shuffle_partitions: int = 32
     salt_buckets: int = 8               # skew salting for hot doc_ids
     long_tail_ntok: int = 8192          # n_tok above this gets its own salt space
-    arrow_batch_rows: int = 256         # keep Arrow batches bounded for big token arrays
+    # Arrow batch sizing: the length-grouped batch kernels scale with GROUP
+    # size, and groups live inside one Arrow batch — 256-row batches gave
+    # ~4-row groups on an LLM-length corpus and left 2.5x throughput on the
+    # table (measured r3: 49k -> 124k rows/s at 8192). Long-doc safety is
+    # the BYTES cap, not the row cap: Spark 4's maxBytesPerBatch slices a
+    # batch early when wide token arrays approach arrow_batch_bytes.
+    arrow_batch_rows: int = 8192
+    arrow_batch_bytes: str = "64m"
 
     @property
     def num_grays(self) -> int:

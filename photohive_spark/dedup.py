@@ -259,31 +259,52 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3, threshold: float = 0.5) -> DataFrame:
+                  k: int = 3, threshold: float = 0.5,
+                  per_doc: bool = False) -> DataFrame:
     """Benchmark decontamination: drop training docs whose word k-gram
-    shingles overlap the UNION of all benchmark documents' shingles by
-    >= ``threshold`` (pooled semantics: a doc overlapping 30% with each of
-    two disjoint benchmark docs counts 60% and is dropped) — the standard
-    test-set-overlap removal stage of an LLM data pipeline. For strict
-    per-benchmark-doc semantics, group hits by benchmark doc and take the
-    max instead of pooling.
+    shingles overlap benchmark shingles by >= ``threshold`` — the standard
+    test-set-overlap removal stage of an LLM data pipeline. Returns the
+    CLEAN docs (original columns).
 
-    Returns the CLEAN docs (original columns). Scale: the benchmark
-    shingle set is tiny next to the corpus — distinct it and broadcast it
-    as a hit flag onto the corpus shingles, so the expensive shingle
-    fan-out runs ONCE and the only corpus-side shuffle is the per-doc
-    (n_sh, n_hit) aggregation.
+    ``per_doc=False`` (default, pooled semantics): overlap is measured
+    against the UNION of all benchmark documents' shingles — a doc
+    overlapping 30% with each of two disjoint benchmark docs counts 60%
+    and is dropped. ``per_doc=True`` (strict semantics): overlap is the
+    MAX against any single benchmark document — that same doc is kept.
+    Pooled is the conservative pipeline default; strict matches
+    "contaminated BY a benchmark item" audits.
+
+    Scale: the benchmark shingle set is tiny next to the corpus — distinct
+    it and broadcast it onto the corpus shingles, so the expensive shingle
+    fan-out runs ONCE. Pooled pays one corpus-side shuffle (per-doc
+    (n_sh, n_hit) agg); strict pays the same agg keyed
+    (doc, benchmark_doc) — rows bounded by corpus shingles x the (few)
+    benchmark docs sharing each shingle.
     """
     doc_sh = word_shingles(docs, text_col, id_col, k)
-    bench_sh = (word_shingles(benchmark, text_col, id_col, k)
-                .select("shingle").distinct().withColumn("_hit", F.lit(1)))
-    flagged = doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left")
-    stats = (flagged.groupBy(id_col)
-             .agg(F.count("*").alias("n_sh"),
-                  F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit")))
-    contaminated = (stats
-                    .where(F.col("n_hit") >= F.col("n_sh") * threshold)
-                    .select(id_col))
+    bench_all = word_shingles(benchmark, text_col, id_col, k)
+    if per_doc:
+        sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        bench_sh = (bench_all
+                    .select(F.col(id_col).alias("_bench_id"), "shingle")
+                    .distinct())
+        hits = (doc_sh.join(F.broadcast(bench_sh), on="shingle")
+                .groupBy(id_col, "_bench_id")
+                .agg(F.count("*").alias("n_hit"))
+                .groupBy(id_col).agg(F.max("n_hit").alias("n_hit")))
+        contaminated = (hits.join(sizes, on=id_col)
+                        .where(F.col("n_hit") >= F.col("n_sh") * threshold)
+                        .select(id_col))
+    else:
+        bench_sh = (bench_all.select("shingle").distinct()
+                    .withColumn("_hit", F.lit(1)))
+        flagged = doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left")
+        contaminated = (flagged.groupBy(id_col)
+                        .agg(F.count("*").alias("n_sh"),
+                             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                             .alias("n_hit"))
+                        .where(F.col("n_hit") >= F.col("n_sh") * threshold)
+                        .select(id_col))
     return docs.join(contaminated, on=id_col, how="left_anti")
 
 

@@ -37,6 +37,11 @@ def get_spark(app: str = "photohive_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(cfg.arrow_batch_rows))
+        # bytes cap slices a batch early when token arrays are wide, so a
+        # large row cap (good for length-grouped kernel batching) cannot
+        # blow the Python-worker heap on long-doc corpora
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                cfg.arrow_batch_bytes)
         # --- shuffle sizing; production overrides via --conf ---
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         # parquet scans: split large files so 100 TB scans parallelize

@@ -432,3 +432,30 @@ def test_star_components_match_propagation_random(spark):
            for r in dedup.connected_components(
                pairs, nodes_df, method="star").collect()}
     assert got == want
+
+
+def test_decontaminate_per_doc_vs_pooled(spark):
+    """The advisor-r2 scenario: a doc overlapping ~half its shingles with
+    each of two DISJOINT benchmark docs is dropped under pooled semantics
+    (union overlap ~1.0 >= 0.8) but kept under per_doc semantics (max
+    single-benchmark overlap ~0.5 < 0.8); a true near-copy of one
+    benchmark doc is dropped under both."""
+    # mix = b1's text + b2's text: 10 3-gram shingles, 4 hit b1, 4 hit b2,
+    # the 2 boundary shingles hit neither -> pooled 0.8, per-doc max 0.4
+    docs = spark.createDataFrame(
+        [("mix", "aa bb cc dd ee ff qq xx yy zz ww rr"),
+         ("copy", "aa bb cc dd ee ff"),          # exact copy of b1
+         ("clean", "unrelated words entirely different content here")],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "aa bb cc dd ee ff"),
+         ("b2", "qq xx yy zz ww rr")],
+        "doc_id string, text string")
+    pooled = {r.doc_id for r in
+              dedup.decontaminate(docs, bench, threshold=0.8).collect()}
+    strict = {r.doc_id for r in
+              dedup.decontaminate(docs, bench, threshold=0.8,
+                                  per_doc=True).collect()}
+    assert pooled == {"clean"}            # mix dropped: pooled union hits
+    assert strict == {"clean", "mix"}     # mix kept: no single bench >= 0.8
+    assert "copy" not in pooled and "copy" not in strict
