@@ -643,11 +643,12 @@ def q_flatten_features(spark, sf_dir):
     """Fixed-width padded feature vector (reference to_json analog),
     ORACLE-CHECKED on its keys + vector width: DuckDB recomputes the keys
     and the config-derived fvec width, so padding/keying regressions fail
-    the gate. The fvec VALUES are pinned elsewhere (engine goldens +
-    tests/test_plan_hygiene.py width/content assertions +
-    extract_features_digest's array digest) — they are FFT/palette math,
-    not SQL-expressible. Subset is a deterministic doc_id filter (not
-    limit) so both engines see the same rows."""
+    the gate. The fvec VALUES are pinned by the frozen golden snapshot
+    (tests/test_extract_features_golden) and engine parity tests — they
+    are FFT/palette math, not SQL-expressible, and the gate never verified
+    them anyway (no_oracle rows record row count only). Subset is a
+    deterministic doc_id filter (not limit) so both engines see the same
+    rows."""
     from photohive_spark.engine import flatten_features
     flat = flatten_features(
         extract_features_df(
@@ -745,7 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arrays are digested for the driver canonicalizer; the math is
         # golden/parity-tested in pytest). Deliberately LAST: if the
         # driver's query cap drops anything, it drops these, whose pytest
-        # coverage stands on its own.
+        # coverage stands on its own — the gate never value-verified
+        # no_oracle rows (CORRECTNESS records row count only for them), so
+        # parking them here loses no verification signal.
         "extract_features_digest": q_extract_features_digest,
         "media_features": q_media_features,
     }

@@ -35,7 +35,9 @@ def main() -> None:
                     help="parquet dir with (vec_id, embedding array<float>)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
-    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--dim", type=int, default=None,
+                    help="embedding dimension; default: inferred from the "
+                         "first row (a wrong dim silently zeroes LSH signs)")
     ap.add_argument("--n-planes", type=int, default=8)
     ap.add_argument("--n-cells", type=int, default=8)
     ap.add_argument("--sample", type=int, default=1024,
@@ -50,27 +52,55 @@ def main() -> None:
     spark = SparkSession.builder.appName("photohive-ann-index").getOrCreate()
     t0 = time.time()
     emb = spark.read.parquet(args.embeddings)
-    n = emb.count()
+    # infer (and validate) the embedding dimension from one row: hyperplanes
+    # of the wrong width make zip_with pad with NULLs -> every sign bit 0 ->
+    # the whole corpus lands in bucket 0 and readers scan a nonexistent
+    # partition. Fail loudly instead.
+    first = emb.select("embedding").limit(1).collect()
+    if not first:
+        raise SystemExit("embeddings table is empty")
+    real_dim = len(first[0].embedding)
+    dim = args.dim if args.dim is not None else real_dim
+    if dim != real_dim:
+        raise SystemExit(f"--dim {dim} != embedding width {real_dim}")
     if args.kind == "lsh":
-        similarity.write_lsh_index(emb, args.output, dim=args.dim,
+        similarity.write_lsh_index(emb, args.output, dim=dim,
                                    n_planes=args.n_planes, seed=args.seed)
-        meta = {"kind": "lsh", "dim": args.dim, "n_planes": args.n_planes,
+        meta = {"kind": "lsh", "dim": dim, "n_planes": args.n_planes,
                 "seed": args.seed}
     else:
         cents = similarity.ivf_centroids_from_sample(
-            emb, n_cells=args.n_cells, iters=5)
+            emb, n_cells=args.n_cells, iters=5, sample_rows=args.sample)
         similarity.write_ivf_index(emb, args.output, cents)
-        meta = {"kind": "ivf", "dim": args.dim, "n_cells": args.n_cells,
+        meta = {"kind": "ivf", "dim": dim, "n_cells": args.n_cells,
                 "sample": args.sample,
                 "centroids": [[float(x) for x in c] for c in cents]}
     # query-side metadata lives NEXT TO the data (like _lineage): a reader
-    # needs the same planes/centroids the writer used
-    with open(os.path.join(args.output, "_ann_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # needs the same planes/centroids the writer used. Written through the
+    # Hadoop FileSystem API so hdfs://... / s3a://... outputs work — a local
+    # open() would fail on the driver AFTER the expensive index write.
+    _write_text(spark, os.path.join(args.output, "_ann_meta.json"),
+                json.dumps(meta))
+    # row count read back from the just-written index (partition-local
+    # parquet footers), not a second full scan of the input
+    n = spark.read.parquet(args.output).count()
     print(json.dumps({"kind": args.kind, "rows": n,
                       "wall_s": round(time.time() - t0, 2),
                       "output": args.output}))
     spark.stop()
+
+
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through Hadoop FS (works for file://, hdfs://,
+    s3a:// — wherever the index itself was written)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 if __name__ == "__main__":

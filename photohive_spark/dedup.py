@@ -165,8 +165,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # - "checkpoint": reliable checkpoint to spark.checkpoint.dir —
     #   survives executor loss; costs an fs write. Right for multi-node
     #   clusters.
-    # - "persist": keeps lineage (recomputable on block loss); caller
-    #   should unpersist after the verify output is materialized.
+    # - "persist": keeps lineage (recomputable on block loss); the persisted
+    #   handle is exposed as ``._cached_candidates`` on the returned
+    #   DataFrame so callers CAN unpersist after materializing (without the
+    #   handle the r1 leak would just come back with extra steps); blocks
+    #   are also released by the ContextCleaner once the result is GC'd.
     if materialize == "local_checkpoint":
         cand = cand.localCheckpoint(eager=False)
     elif materialize == "checkpoint":
@@ -175,7 +178,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         cand = cand.persist()
     elif materialize != "none":
         raise ValueError(f"unknown materialize strategy {materialize!r}")
-    return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
+    out = verify_jaccard(cand, docs, text_col, id_col, k, threshold)
+    if materialize == "persist":
+        out._cached_candidates = cand
+    return out
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -441,9 +447,13 @@ def _star_edges_fixpoint(e: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
                .unionByName(mins2.select("hi", F.col("m").alias("lo")))
                .where(F.col("hi") != F.col("lo")).distinct()
                .localCheckpoint(eager=False))
-        changed = (new.exceptAll(e).count() + e.exceptAll(new).count())
+        # set equality check, short-circuited: both sides are distinct, so
+        # equal counts + empty one-sided difference <=> equal sets (avoids
+        # a second exceptAll job every unconverged round)
+        changed = (new.count() != e.count()) or \
+            (new.exceptAll(e).count() > 0)
         e = new
-        if changed == 0:
+        if not changed:
             return e, rounds
     raise RuntimeError(
         f"star connected_components did not converge in {max_iters} rounds")

@@ -89,12 +89,17 @@ def asof_join_salted(probes: DataFrame, snapshots: DataFrame, key: str,
     x salt_buckets (snapshots per key are bounded — feature snapshots, not
     events — so the replication is cheap relative to the probe side).
 
-    The salt is content-derived (xxhash64 of key + probe timestamp), so a
-    task retry re-produces the exact same salted partitioning — per-
-    partition lineage counts are reproducible, unlike an id-based salt."""
+    The salt is content-derived (xxhash64 over EVERY probe column — probe
+    rows normally carry a unique id, so a same-(key, ts) burst still
+    spreads), so a task retry re-produces the exact same salted
+    partitioning — per-partition lineage counts are reproducible, unlike an
+    id-based salt. Fully-duplicate probe rows share a salt (the price of
+    determinism); if an input can contain millions of byte-identical
+    probes, give them an id column upstream."""
     from .skew import deterministic_salt
     salted_probes = probes.withColumn(
-        "_salt", deterministic_salt(salt_buckets, key, probe_ts)).withColumn(
+        "_salt", deterministic_salt(salt_buckets, *probes.columns)
+    ).withColumn(
         "_k2", F.concat_ws("#", F.col(key), F.col("_salt")))
     salted_snaps = snapshots.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -91,12 +91,14 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
 def ivf_centroids_from_sample(emb, n_cells: int = 8,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              iters: int = 5) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample (centroid count is
-    tiny; training on a bounded sample is the standard IVF recipe —
-    clustering cost is O(sample), independent of corpus size)."""
+                              iters: int = 5,
+                              sample_rows: int = 1024) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample of ``sample_rows``
+    rows (centroid count is tiny; training on a bounded sample is the
+    standard IVF recipe — clustering cost is O(sample), independent of
+    corpus size)."""
     sample = np.array([list(r[vec_col]) for r in
-                       emb.orderBy(id_col).limit(1024).collect()],
+                       emb.orderBy(id_col).limit(sample_rows).collect()],
                       dtype=np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.maximum(norms, 1e-12)

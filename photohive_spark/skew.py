@@ -44,7 +44,12 @@ def two_stage_agg(df: DataFrame, key: str, buckets: int, aggs: dict,
     ``{"cnt": (F.count("*"), F.sum), "total": (F.sum("x"), F.sum)}``.
 
     The salt is content-derived (``salt_cols``, default: every column), so
-    the partial-stage partitioning is reproducible across retries.
+    the partial-stage partitioning is reproducible across retries. Two
+    caveats: (1) byte-identical duplicate rows share a salt — harmless here
+    because groupBy's MAP-SIDE partial aggregation collapses duplicates
+    before the shuffle, so reduce-side volume per (key, salt) is bounded by
+    the map-task count either way; (2) xxhash64 cannot hash MapType
+    columns — pass explicit hashable ``salt_cols`` for such schemas.
     """
     salted = df.withColumn(
         "_salt_bucket",
