@@ -222,6 +222,35 @@ def flatten_features(features: DataFrame, n_palette: int = 100,
                            fvec.alias("fvec"))
 
 
+def corpus_histogram(features: DataFrame, by: str | None = None) -> DataFrame:
+    """Corpus/group-level token histogram + entropy — the PRODUCTION path
+    that q_hist/q_entropy_by_source's docstrings promise: aggregates the
+    per-doc fixed-width ``hist_counts`` arrays the kernel already emits
+    (posexplode = hist_cells rows per doc REGARDLESS of n_tok) instead of
+    exploding tokens (n_tok rows per doc — 10^4x more shuffle volume on an
+    LLM corpus). One shuffle on (group, bin) with map-side partial sums.
+
+    Returns (``by``?, bins array<struct<bin,cnt>> sorted by bin, total,
+    entropy) — entropy via an ORDERED fold over the bin-sorted counts, the
+    same determinism rule as the oracle-parity form (zero bins dropped, as
+    in the explode form)."""
+    key = [by] if by else []
+    ex = features.select(*key,
+                         F.posexplode("hist_counts").alias("bin", "cnt"))
+    cnts = (ex.groupBy(*key, "bin").agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0))
+    arr = (cnts.groupBy(*key)
+           .agg(F.sum("cnt").alias("total"),
+                F.sort_array(F.collect_list(F.struct("bin", "cnt")))
+                 .alias("bins")))
+    ent = F.expr("""
+      -aggregate(bins, cast(0.0 as double),
+                 (a, b) -> a + (b.cnt / cast(total as double))
+                             * ln(b.cnt / cast(total as double)))
+    """)
+    return arr.select(*key, "bins", "total", F.round(ent, 6).alias("entropy"))
+
+
 def feature_snapshots(tokens_df: DataFrame, n_snapshots: int = 1,
                       snapshot_interval_s: int = 3600,
                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -215,6 +215,40 @@ def ivf_topk_indexed(spark, path: str, centroids: np.ndarray,
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 
 
+def lsh_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "query_id", q_vec_col: str = "query_vec",
+                   dim: int = 64, n_planes: int = 8,
+                   seed: int = 42) -> DataFrame:
+    """Batched ANN — the PRODUCTION query shape: one corpus scan answers
+    MANY queries (per-query driver round-trips at 10^12 rows are absurd).
+
+    Both sides are bucketed with the same hyperplanes; the query side
+    (small) BROADCASTS, so the bucket equi-join never shuffles the corpus;
+    scoring touches only bucket-mates (~corpus/2^n_planes rows per query);
+    per-query top-k is a window over the (bounded) candidate set — the
+    only shuffle, proportional to candidates, not corpus.
+
+    Returns (q_id_col, id_col, cosine, rank<=k), tie-broken like lsh_topk
+    (cosine desc, id asc)."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    corpus = emb.select(F.col(id_col), v.alias("v"),
+                        lsh_bucket_expr(v, planes).alias("bucket"))
+    qv = F.col(q_vec_col).cast("array<double>")
+    qs = queries.select(F.col(q_id_col), qv.alias("qv"),
+                        lsh_bucket_expr(qv, planes).alias("bucket"))
+    joined = (F.broadcast(qs).join(corpus, on="bucket")
+              .select(q_id_col, id_col,
+                      F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42) -> DataFrame:

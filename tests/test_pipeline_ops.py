@@ -459,3 +459,46 @@ def test_decontaminate_per_doc_vs_pooled(spark):
     assert pooled == {"clean"}            # mix dropped: pooled union hits
     assert strict == {"clean", "mix"}     # mix kept: no single bench >= 0.8
     assert "copy" not in pooled and "copy" not in strict
+
+
+def test_lsh_topk_batch_matches_per_query(spark, sf_dir):
+    """Batched ANN == per-query lsh_topk for each query, and the query
+    side broadcasts (the corpus never shuffles for the join)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows],
+        "query_id long, query_vec array<double>")
+    got = similarity.lsh_topk_batch(emb, queries, k=5, n_planes=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qr in qrows:
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(
+            similarity.lsh_topk(emb, [float(x) for x in qr.embedding],
+                                k=5, n_planes=4).collect())]
+        assert sorted(by_q[qr.vec_id]) == want, qr.vec_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_histogram_matches_explode_form(spark, sf_dir):
+    """The production-path per-doc hist_counts aggregation equals the
+    explode(tokens) oracle-parity form, bin for bin, entropy to 6dp."""
+    import __spark_entry__ as E
+    from photohive_spark.config import DEFAULT_CONFIG as CFG
+    from photohive_spark.engine import corpus_histogram, extract_features_df
+    from photohive_spark.tokenize import tokens_table
+
+    feats = extract_features_df(tokens_table(spark, sf_dir), CFG)
+    # global histogram vs q_hist
+    glob = corpus_histogram(feats).collect()[0]
+    want_bins = {(r.bin, r.cnt) for r in E.q_hist(spark, sf_dir).collect()}
+    got_bins = {(b.bin, b.cnt) for b in glob.bins}
+    assert got_bins == want_bins
+    # per-source entropy vs q_entropy_by_source
+    got_ent = {r.source: r.entropy
+               for r in corpus_histogram(feats, by="source").collect()}
+    want_ent = {r.source: r.entropy
+                for r in E.q_entropy_by_source(spark, sf_dir).collect()}
+    assert got_ent == want_ent
