@@ -175,6 +175,67 @@ def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
     return out
 
 
+def _peaks_batch(prof: np.ndarray, cfg: EngineConfig) -> list[list]:
+    """Vectorized K.spectral_peaks across an equal-shape group.
+
+    prof: (m, na, nr). Per-doc profiling showed the row loop over
+    K.spectral_peaks dominating kernel time (~41 of 137 core-seconds at
+    1M rows) — each call is Python loop + several tiny numpy allocs.
+
+    Faithful to the per-doc path:
+    - the wrap-aware end checks of vectorize_blur_profile collapse to
+      uniform circular neighbor comparisons (i=0 compares against na-1 and
+      1; i=na-1 against na-2 and 0 — exactly np.roll semantics);
+    - stage-1 magnitudes (incl. the undivided-i==0 quirk) are computed by
+      the reference but DISCARDED by stage 2 (`for angle, _mag in maxima`),
+      so only the peak ANGLE set must match — magnitudes here come solely
+      from stage 2;
+    - smoothing is the trailing circular box-5 (convolve_circular with
+      ones(5)): sum of rolls 0..4 over the angle axis / 5;
+    - stage-2 blur_avg == tot[row, perp_angle] (same contiguous slice-sum);
+      first-below-threshold radius via boolean argmax (exact index match);
+      float32 division order replicated elementwise.
+    Row-for-row parity with K.spectral_peaks is pinned by the existing
+    batch-vs-perdoc tests and the frozen golden snapshot."""
+    m, na, nr = prof.shape
+    rc = nr // cfg.cutoff_ratio_denom
+    tot = prof[:, :, :rc].sum(axis=2)                       # (m, na)
+    avg = tot.sum(axis=1) / na                              # (m,)
+    # accumulate OLDEST-first (roll 4 down to 0) — the exact FP order of
+    # convolve_circular's np.convolve inner loop; tie-heavy profiles
+    # (constant regions) make peak selection sensitive to last-ulp
+    # rounding, so the order must match for row-for-row parity
+    smooth = sum(np.roll(tot, j, axis=1) for j in (4, 3, 2, 1, 0)) / 5.0
+    mask = ((smooth > np.roll(smooth, 1, axis=1))
+            & (smooth > np.roll(smooth, -1, axis=1))
+            & (smooth > (avg * cfg.fft_streak_thresh)[:, None]))
+    deg = np.array([int(180.0 * (np.float32(a) / np.float32(na)) - 90.0)
+                    for a in range(na)])
+    half = na // 2
+    rows_idx, ang_idx = np.nonzero(mask)
+    # cap 10 per row BEFORE gathering (position within each row's run)
+    bounds = np.searchsorted(rows_idx, np.arange(m + 1))
+    pos = np.arange(rows_idx.size) - bounds[rows_idx]
+    keep = pos < 10
+    rows_idx, ang_idx = rows_idx[keep], ang_idx[keep]
+    # stage 2 only for the (few) peak pairs — scanning the whole (m, na, nr)
+    # profile for first-below radii cost more than everything else combined
+    pa = (ang_idx + half) % na
+    sig = prof[rows_idx, pa]                                # (npairs, nr)
+    bel = sig < cfg.magnitude_thresh
+    fb = np.where(bel.any(axis=1), bel.argmax(axis=1), nr)
+    zero_out = tot[rows_idx, pa] > avg[rows_idx]
+    mags = (fb.astype(np.float32) / np.float32(nr)).astype(np.float64)
+    degs = deg[pa]
+    out: list[list] = [[] for _ in range(m)]
+    for i in range(rows_idx.size):
+        if zero_out[i]:
+            out[rows_idx[i]].append((0, 0.0))
+        else:
+            out[rows_idx[i]].append((int(degs[i]), float(mags[i])))
+    return out
+
+
 def _group_features(T: np.ndarray, cfg: EngineConfig,
                     timings: dict[str, float] | None = None) -> dict:
     """All features for one equal-length group. T: (m, n) int32, n >= 1.
@@ -263,8 +324,7 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
     _t = _mark("blur_fft_s", _t)
     pal_list = _palette_batch(h, s, v, g, counts, cfg)
     _t = _mark("palette_s", _t)
-    for i in range(m):
-        peaks_list.append(K.spectral_peaks(prof[i], cfg))
+    peaks_list = _peaks_batch(prof, cfg)
     _t = _mark("peaks_s", _t)
 
     return {
@@ -317,19 +377,35 @@ def signal_stats_batch(X: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
             "spectrum_bands": bands, "sharpness_avg": sh_avg, "power": P}
 
 
-def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
-                  rois_list: list | None = None,
-                  timings: dict[str, float] | None = None) -> list[dict]:
-    """Features for a whole Arrow batch, grouped by token length.
+_SCALAR_COLS = ("rms_mean", "rms_std", "mean_norm_value", "hist_entropy",
+                "sharpness_avg")
+_ARRAY_COLS = ("hist_counts", "spectrum_bands", "autocorr", "bandpass_energy")
+
+
+def batch_extract_columns(token_arrays: list,
+                          cfg: EngineConfig = DEFAULT_CONFIG,
+                          rois_list: list | None = None,
+                          timings: dict[str, float] | None = None) -> dict:
+    """Features for a whole Arrow batch as COLUMNS, grouped by token length
+    — the mapInPandas fast path. Scalar columns are filled with one
+    vectorized numpy scatter per group (zero per-row Python); array columns
+    get ndarray row VIEWS of the group results (no per-row .tolist() —
+    pyarrow converts ndarray cells directly); only the struct columns
+    (palette, spectral_peaks) remain per-row list builds. Profiling at 1M
+    rows showed the previous per-row dict assembly + engine-side pivot
+    costing ~50 of ~190 kernel core-seconds.
 
     ``rois_list`` (optional, parallel to ``token_arrays``) carries per-row
-    [(start, end), ...] crop boundaries; per-ROI sharpness is a small
-    per-row numpy op on top of the batched features (K.sharpness_rois).
-    ``timings`` (optional dict) accumulates per-kernel-family wall seconds
-    (see _group_features).
+    [(start, end), ...] crop boundaries; ``timings`` (optional dict)
+    accumulates per-kernel-family wall seconds (see _group_features).
 
-    Returns one dict per input row (same shape as engine.features_row)."""
-    out: list[dict | None] = [None] * len(token_arrays)
+    Returns {column name -> length-N list (object cols) or np.ndarray
+    (scalar cols)} with the same values as engine.features_row per row."""
+    N = len(token_arrays)
+    scal = {c: np.zeros(N) for c in _SCALAR_COLS}
+    obj: dict[str, list] = {c: [None] * N for c in
+                            (*_ARRAY_COLS, "palette", "spectral_peaks")}
+    sharp: list[list] = [[] for _ in range(N)]
     groups = length_groups(token_arrays)
 
     empty = None
@@ -339,33 +415,32 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
                 from .engine import features_row
                 empty = features_row(np.array([], dtype=np.int32), cfg)
             for i in idxs:
-                # per-row rebuild (not dict(empty)): a shallow copy would
-                # alias the template's mutable lists across every empty
-                # row in the batch — safe today, a trap for any future
-                # in-place mutation
-                out[i] = {k: (list(v) if isinstance(v, list) else v)
-                          for k, v in empty.items()}
+                for c in _SCALAR_COLS:
+                    scal[c][i] = empty[c]
+                for c in _ARRAY_COLS:
+                    obj[c][i] = list(empty[c])
+                obj["palette"][i] = list(empty["palette"])
+                obj["spectral_peaks"][i] = list(empty["spectral_peaks"])
             continue
         T = np.stack([np.asarray(token_arrays[i], dtype=np.int32)
                       for i in idxs])
         gf = _group_features(T, cfg, timings)
+        ix = np.asarray(idxs)
+        for c in _SCALAR_COLS:
+            scal[c][ix] = gf[c]
+        counts, bands = gf["hist_counts"], gf["spectrum_bands"]
+        ac, bp = gf["autocorr"], gf["bandpass_energy"]
+        pals, pks = gf["palette"], gf["spectral_peaks"]
         for row_pos, i in enumerate(idxs):
-            out[i] = {
-                "rms_mean": float(gf["rms_mean"][row_pos]),
-                "rms_std": float(gf["rms_std"][row_pos]),
-                "mean_norm_value": float(gf["mean_norm_value"][row_pos]),
-                "hist_counts": gf["hist_counts"][row_pos].tolist(),
-                "hist_entropy": float(gf["hist_entropy"][row_pos]),
-                "palette": [{"h": ph, "s": ps, "v": pv, "pct": pp}
-                            for (ph, ps, pv, pp) in gf["palette"][row_pos][:100]],
-                "spectrum_bands": gf["spectrum_bands"][row_pos].tolist(),
-                "spectral_peaks": [{"angle": int(a), "magnitude": float(mg)}
-                                   for (a, mg) in gf["spectral_peaks"][row_pos][:10]],
-                "autocorr": gf["autocorr"][row_pos].tolist(),
-                "bandpass_energy": gf["bandpass_energy"][row_pos].tolist(),
-                "sharpness": [],
-                "sharpness_avg": float(gf["sharpness_avg"][row_pos]),
-            }
+            obj["hist_counts"][i] = counts[row_pos]
+            obj["spectrum_bands"][i] = bands[row_pos]
+            obj["autocorr"][i] = ac[row_pos]
+            obj["bandpass_energy"][i] = bp[row_pos]
+            obj["palette"][i] = [{"h": ph, "s": ps, "v": pv, "pct": pp}
+                                 for (ph, ps, pv, pp) in pals[row_pos][:100]]
+            obj["spectral_peaks"][i] = [
+                {"angle": int(a), "magnitude": float(mg)}
+                for (a, mg) in pks[row_pos][:10]]
     if rois_list is not None:
         for i, rois in enumerate(rois_list):
             if not rois:
@@ -373,5 +448,26 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
             t = token_arrays[i]
             x = (np.asarray(t, dtype=np.float64) / VOCAB_SIZE
                  if t is not None else np.array([], dtype=np.float64))
-            out[i]["sharpness"] = [float(v) for v in K.sharpness_rois(x, rois)]
+            sharp[i] = [float(v) for v in K.sharpness_rois(x, rois)]
+    return {**scal, **obj, "sharpness": sharp}
+
+
+def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
+                  rois_list: list | None = None,
+                  timings: dict[str, float] | None = None) -> list[dict]:
+    """Row-dict view of batch_extract_columns (the reference/test API —
+    one dict per input row, same shape as engine.features_row, plain
+    Python lists in array cells)."""
+    cols = batch_extract_columns(token_arrays, cfg, rois_list, timings)
+    out = []
+    for i in range(len(token_arrays)):
+        row = {c: float(cols[c][i]) for c in _SCALAR_COLS}
+        for c in _ARRAY_COLS:
+            cell = cols[c][i]
+            row[c] = cell.tolist() if isinstance(cell, np.ndarray) else list(cell)
+        row["hist_counts"] = [int(v) for v in row["hist_counts"]]
+        row["palette"] = cols["palette"][i]
+        row["spectral_peaks"] = cols["spectral_peaks"][i]
+        row["sharpness"] = cols["sharpness"][i]
+        out.append(row)
     return out

@@ -129,29 +129,28 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time
-        from .batch_kernels import batch_extract
+        from .batch_kernels import batch_extract_columns
         for pdf in batches:
             t0 = _time.perf_counter()
             rois_list = None
             if roi_col is not None and roi_col in pdf.columns:
                 rois_list = [_roi_tuples(c) for c in pdf[roi_col]]
             timings = {} if stage_accs is not None else None
-            rows = batch_extract(list(pdf["tokens"]), cfg, rois_list,
-                                 timings=timings)
+            cols = batch_extract_columns(list(pdf["tokens"]), cfg, rois_list,
+                                         timings=timings)
             if stage_accs is not None:
                 for name, secs in timings.items():
                     if name in stage_accs:
                         stage_accs[name].add(secs)
             if time_acc is not None:
                 time_acc.add(_time.perf_counter() - t0)
-            cols = {n: [r[n] for r in rows] for n in feature_names}
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "tokens": pdf["tokens"].to_numpy(),
                 "n_tok": pdf["n_tok"].to_numpy(),
                 "source": pdf["source"].to_numpy(),
                 "event_ts": pdf["event_ts"].to_numpy(),
-                **cols,
+                **{n: cols[n] for n in feature_names},
             })
             yield out
 

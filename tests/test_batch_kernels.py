@@ -83,3 +83,36 @@ def test_nondefault_config_parity():
         gp = [(p["h"], p["s"], p["v"], p["pct"]) for p in g["palette"]]
         wp = [(p["h"], p["s"], p["v"], p["pct"]) for p in want["palette"]]
         assert np.allclose(gp, wp, rtol=1e-9), i
+
+
+def test_peaks_batch_parity_randomized():
+    """_peaks_batch == K.spectral_peaks row-for-row across input families,
+    including tie-heavy constant-region profiles where peak selection is
+    sensitive to last-ulp smoothing order (the batch path replicates
+    np.convolve's oldest-first accumulation for exactly this reason)."""
+    import numpy as np
+    from photohive_spark import kernels as K
+    from photohive_spark.batch_kernels import _peaks_batch
+    from photohive_spark.config import DEFAULT_CONFIG as CFG
+
+    rng = np.random.default_rng(7)
+    na, nr = CFG.angle_parts, CFG.radius_parts
+    for trial in range(40):
+        m = int(rng.integers(1, 8))
+        kind = trial % 4
+        if kind == 0:
+            prof = rng.random((m, na, nr)) * 2.0
+        elif kind == 1:  # spiky streaks -> many maxima, exercises cap 10
+            prof = rng.random((m, na, nr)) * 0.1
+            for r in range(m):
+                for _ in range(int(rng.integers(1, 20))):
+                    prof[r, rng.integers(0, na)] += rng.random() * 5
+        elif kind == 2:  # constant regions -> FP-tie sensitive
+            prof = np.ones((m, na, nr)) * rng.random()
+            prof[:, int(rng.integers(0, na))] += 1.0
+        else:            # near-zero
+            prof = np.zeros((m, na, nr))
+            prof[:, :3, :3] = rng.random((m, 3, 3))
+        got = _peaks_batch(prof, CFG)
+        for r in range(m):
+            assert got[r] == K.spectral_peaks(prof[r], CFG), (trial, r)
