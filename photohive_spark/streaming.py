@@ -158,6 +158,30 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_stream(docs_stream: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 watermark_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit each content digest's FIRST arrival,
+    drop every later duplicate — the incremental-ingest analog of
+    dedup.exact_dedup (which keeps min id per digest in batch; a stream
+    cannot know the eventual min, so first-arrival is the streaming
+    contract, stable under replay because Structured Streaming's
+    dropDuplicates state is checkpointed exactly-once).
+
+    With ``watermark_col`` set, dropDuplicatesWithinWatermark bounds the
+    digest state (late duplicates beyond the watermark may re-emit — the
+    standard state-size/recall tradeoff at 10^12 docs, where unbounded
+    digest state would hold one row per distinct doc forever); without it,
+    state is exact and unbounded.
+    """
+    hashed = docs_stream.withColumn("digest", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        return (hashed.withWatermark(watermark_col, watermark)
+                .dropDuplicatesWithinWatermark(["digest"]))
+    return hashed.dropDuplicates(["digest"])
+
+
 def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
                             key: str, probe_ts: str, snapshot_ts: str,
                             value_cols: list[str],

@@ -249,3 +249,76 @@ def test_sessionize_stream_property_matches_batch(spark, tmp_path):
         assert got == want, (got, want)
 
     run_case()
+
+
+def test_dedup_stream_first_arrival(spark, tmp_path):
+    """Streaming exact dedup: one row per distinct content, the FIRST
+    arrival wins (microbatch order pinned via file mtimes), and the
+    emitted digest set equals batch exact_dedup's."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _t
+
+    from photohive_spark import dedup
+
+    src = str(tmp_path / "dedup_stream")
+    os.makedirs(src)
+    batches = [
+        [("a1", "the quick brown fox"), ("b1", "jumps over the dog")],
+        [("a2", "the quick brown fox"), ("c1", "entirely new content")],
+        [("b2", "jumps over the dog"), ("c2", "entirely new content")],
+    ]
+    base = _t.time() - 1000
+    for i, rows in enumerate(batches):
+        tbl = pa.table({"doc_id": [r[0] for r in rows],
+                        "text": [r[1] for r in rows]})
+        f = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (base + i * 2, base + i * 2))
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(streaming.dedup_stream(stream), "dedup_s")
+    got = {r.digest: r.doc_id
+           for r in spark.sql("select * from dedup_s").collect()}
+    # first arrivals win
+    assert set(got.values()) == {"a1", "b1", "c1"}
+    # digest set matches batch exact_dedup on the full corpus
+    all_docs = spark.read.parquet(src)
+    want = {r.digest for r in dedup.exact_dedup(all_docs).collect()}
+    assert set(got.keys()) == want
+
+
+def test_dedup_stream_watermark_bounded(spark, tmp_path):
+    """Watermarked variant: duplicates within the watermark window are
+    dropped; state stays bounded (the 10^12-doc configuration)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    import time as _t
+
+    src = str(tmp_path / "dedup_wm")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("x1", "same text", t0),
+            ("x2", "same text", t0 + dt.timedelta(seconds=30)),
+            ("y1", "other text", t0 + dt.timedelta(seconds=60))]
+    tbl = pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "ts": pa.array(np.array([int(r[2].timestamp() * 1e6) for r in rows],
+                                dtype="datetime64[us]"))})
+    pq.write_table(tbl, os.path.join(src, "b0.parquet"))
+
+    stream = (spark.readStream
+              .schema("doc_id string, text string, ts timestamp")
+              .parquet(src))
+    streaming.run_to_memory(
+        streaming.dedup_stream(stream, watermark_col="ts",
+                               watermark="10 minutes"), "dedup_wm")
+    got = sorted(r.doc_id for r in spark.sql("select * from dedup_wm").collect())
+    assert got == ["x1", "y1"]
