@@ -370,9 +370,11 @@ def q_autocorr_lag1(spark, sf_dir):
 def q_hist(spark, sf_dir):
     """Corpus-level bin histogram via explode(tokens) — ORACLE-PARITY FORM
     ONLY: at 10^12 docs the explode shuffles ~n_tok x rows records. The
-    production path aggregates the per-doc 112-length `hist_counts` arrays
-    the kernel already emits (sum of fixed-width arrays, never exploding
-    tokens) — do not lift this query to scale as-is."""
+    production path is engine.corpus_histogram (aggregates the per-doc
+    112-length `hist_counts` arrays the kernel already emits — hist_cells
+    rows per doc instead of n_tok; equality with this form is asserted by
+    tests/test_pipeline_ops.py::test_corpus_histogram_matches_explode_form)
+    — do not lift this query to scale as-is."""
     toks = tokens_table(spark, sf_dir)
     t = toks.select(F.explode("tokens").alias("t"))
     return (t.select(F.expr(_BIN_SQL).alias("bin"))
