@@ -249,6 +249,39 @@ def lsh_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def lsh_topk_batch_indexed(spark, path: str, queries: DataFrame,
+                           k: int = 10, id_col: str = "vec_id",
+                           q_id_col: str = "query_id",
+                           q_vec_col: str = "query_vec",
+                           dim: int = 64, n_planes: int = 8,
+                           seed: int = 42) -> DataFrame:
+    """Batched ANN over a write_lsh_index table — completes the
+    {single, batch} x {on-the-fly, indexed} matrix: the union of the
+    queries' bucket ids (collected driver-side — bounded by the query
+    batch, not the corpus) becomes a partition IN-filter, so the scan
+    touches only the probed bucket directories; then the same broadcast
+    bucket-join + per-query window as lsh_topk_batch."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    sigs = {query_signature(planes, list(r[q_vec_col])) for r in qrows}
+    qid_type = queries.schema[q_id_col].dataType.simpleString()
+    qs = spark.createDataFrame(
+        [(r[q_id_col], [float(x) for x in r[q_vec_col]],
+          query_signature(planes, list(r[q_vec_col]))) for r in qrows],
+        f"{q_id_col} {qid_type}, qv array<double>, bucket bigint")
+    corpus = spark.read.parquet(path).where(
+        F.col("bucket").isin([int(s) for s in sigs]))
+    joined = (F.broadcast(qs).join(corpus, on="bucket")
+              .select(q_id_col, id_col,
+                      F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -502,3 +502,25 @@ def test_corpus_histogram_matches_explode_form(spark, sf_dir):
     want_ent = {r.source: r.entropy
                 for r in E.q_entropy_by_source(spark, sf_dir).collect()}
     assert got_ent == want_ent
+
+
+def test_lsh_topk_batch_indexed_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Indexed batched ANN: same results as the on-the-fly batch form;
+    the scan prunes to the queries' bucket partitions (PartitionFilter)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows],
+        "query_id long, query_vec array<double>")
+    path = str(tmp_path / "lsh_ix_batch")
+    similarity.write_lsh_index(emb, path, n_planes=4)
+
+    got = similarity.lsh_topk_batch_indexed(spark, path, queries, k=5,
+                                            n_planes=4)
+    want = similarity.lsh_topk_batch(emb, queries, k=5, n_planes=4)
+    key = lambda df: sorted((r.query_id, r.rank, r.vec_id, r.cosine)
+                            for r in df.collect())
+    assert key(got) == key(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and \
+        "bucket" in plan.split("PartitionFilters")[1][:120], plan
