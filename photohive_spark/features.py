@@ -1,0 +1,120 @@
+"""Feature post-processing: group-wise normalization, quantile binning,
+rolling window statistics — the standard feature-store transforms applied
+downstream of extract_features_df before ML ingest.
+
+All pure Catalyst (window specs + built-in aggregates): no Python, no
+extra scans — each transform is one window or one groupBy+broadcast-join
+over the features table.
+
+Scale notes (10^12 rows):
+- zscore/minmax by group: ONE aggregation shuffle on the (few) group keys,
+  stats broadcast back onto the table — never a per-row window over the
+  whole corpus (a global window spec would single-task each group);
+- quantile_bins: exact ntile needs a total sort per group — provided for
+  oracle parity; the scale path is approx_bins (percentile_approx cutoffs
+  computed in one agg, broadcast, then a pure projection via array
+  binary-search semantics);
+- rolling_stats: per-entity event-time windows (rowsBetween), the same
+  shape as pit.moving_avg — shuffle on the entity key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def zscore(df: DataFrame, cols: list[str], by: str | None = None,
+           suffix: str = "_z") -> DataFrame:
+    """Per-group z-score: (x - mean) / stddev_pop, 0.0 where the group is
+    constant (stddev 0 — the convention that keeps downstream ML finite).
+    Group stats come from ONE groupBy (map-side partial) and broadcast
+    back; with ``by=None`` normalizes globally."""
+    keys = [by] if by else []
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"_m_{c}"), F.stddev_pop(c).alias(f"_s_{c}")]
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = df.join(F.broadcast(stats), on=keys) if keys else \
+        df.crossJoin(F.broadcast(stats))
+    out_cols = [joined[c] for c in df.columns]
+    for c in cols:
+        z = F.when(F.col(f"_s_{c}") > 0,
+                   (F.col(c) - F.col(f"_m_{c}")) / F.col(f"_s_{c}")) \
+             .otherwise(F.lit(0.0))
+        out_cols.append(z.alias(f"{c}{suffix}"))
+    return joined.select(*out_cols)
+
+
+def minmax(df: DataFrame, cols: list[str], by: str | None = None,
+           suffix: str = "_mm") -> DataFrame:
+    """Per-group min-max scaling to [0, 1]; 0.0 where the group is
+    constant. Same one-agg + broadcast shape as zscore."""
+    keys = [by] if by else []
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = df.join(F.broadcast(stats), on=keys) if keys else \
+        df.crossJoin(F.broadcast(stats))
+    out_cols = [joined[c] for c in df.columns]
+    for c in cols:
+        rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        mm = F.when(rng > 0, (F.col(c) - F.col(f"_lo_{c}")) / rng) \
+              .otherwise(F.lit(0.0))
+        out_cols.append(mm.alias(f"{c}{suffix}"))
+    return joined.select(*out_cols)
+
+
+def quantile_bins(df: DataFrame, col: str, n_bins: int,
+                  by: str | None = None,
+                  out_col: str | None = None,
+                  tiebreak: list[str] | None = None) -> DataFrame:
+    """EXACT equal-count binning via ntile — oracle-parity form (ntile is
+    a total sort per group; at 10^12 rows use approx_bins). Bin ids are
+    0-based. Pass ``tiebreak`` columns to pin the order of equal values
+    (required for cross-engine determinism: NTILE assigns by position, so
+    unpinned ties land in engine-dependent bins)."""
+    out_col = out_col or f"{col}_bin"
+    order = [F.col(col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w) - 1)
+
+
+def approx_bins(df: DataFrame, col: str, n_bins: int,
+                by: str | None = None, out_col: str | None = None,
+                relative_error: float = 0.001) -> DataFrame:
+    """Scale path for quantile binning: percentile_approx cutoffs
+    (Greenwald-Khanna sketch, one agg shuffle) broadcast back, bin id =
+    count of interior cutoffs <= value (a pure array projection). Bins are
+    approximately equal-count; ids 0-based, monotone in the value."""
+    out_col = out_col or f"{col}_bin"
+    keys = [by] if by else []
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.groupBy(*keys).agg(
+        F.percentile_approx(col, qs, int(1 / relative_error)).alias("_cuts"))
+    joined = df.join(F.broadcast(cuts), on=keys) if keys else \
+        df.crossJoin(F.broadcast(cuts))
+    bin_id = F.aggregate(
+        "_cuts", F.lit(0),
+        lambda acc, cut: acc + F.when(F.col(col) >= cut, 1).otherwise(0))
+    return joined.select(*[joined[c] for c in df.columns],
+                         bin_id.alias(out_col))
+
+
+def rolling_stats(df: DataFrame, key: str, ts: str, value: str,
+                  window_rows: int = 3) -> DataFrame:
+    """Per-entity trailing-window statistics over event time: mean, std,
+    min, max of the last ``window_rows`` rows (current inclusive) — the
+    classic point-in-time-safe rolling features (only PAST rows enter the
+    frame, so no temporal leakage by construction)."""
+    w = (Window.partitionBy(key).orderBy(F.col(ts).asc())
+         .rowsBetween(-(window_rows - 1), 0))
+    return df.select(
+        "*",
+        F.avg(value).over(w).alias(f"{value}_roll_mean"),
+        F.coalesce(F.stddev_pop(value).over(w), F.lit(0.0))
+         .alias(f"{value}_roll_std"),
+        F.min(value).over(w).alias(f"{value}_roll_min"),
+        F.max(value).over(w).alias(f"{value}_roll_max"))

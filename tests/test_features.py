@@ -1,0 +1,94 @@
+"""Feature post-processing transforms vs local pandas/numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from photohive_spark import features
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rng = np.random.default_rng(5)
+    rows = [(int(i), ["a", "b", "c"][i % 3], float(v), float(i % 7))
+            for i, v in enumerate(rng.normal(10, 3, 200))]
+    rows.append((200, "d", 5.0, 1.0))     # singleton group (stddev 0)
+    rows.append((201, "d", 5.0, 1.0))     # constant group
+    return spark.createDataFrame(
+        rows, "id long, grp string, x double, y double")
+
+
+def test_zscore_matches_pandas(tbl):
+    got = {r.id: (r.x_z, r.y_z)
+           for r in features.zscore(tbl, ["x", "y"], by="grp").collect()}
+    pdf = tbl.toPandas()
+    for g, sub in pdf.groupby("grp"):
+        for c in ("x", "y"):
+            m, s = sub[c].mean(), sub[c].std(ddof=0)
+            for _, row in sub.iterrows():
+                want = (row[c] - m) / s if s > 0 else 0.0
+                assert got[row.id][0 if c == "x" else 1] == \
+                    pytest.approx(want, abs=1e-12), (g, c, row.id)
+
+
+def test_minmax_matches_pandas(tbl):
+    got = {r.id: r.x_mm for r in features.minmax(tbl, ["x"], by="grp").collect()}
+    pdf = tbl.toPandas()
+    for _, sub in pdf.groupby("grp"):
+        lo, hi = sub.x.min(), sub.x.max()
+        for _, row in sub.iterrows():
+            want = (row.x - lo) / (hi - lo) if hi > lo else 0.0
+            assert got[row.id] == pytest.approx(want, abs=1e-12)
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_quantile_bins_exact(tbl):
+    got = features.quantile_bins(tbl, "x", 4, by="grp")
+    pdf = got.toPandas()
+    for g, sub in pdf.groupby("grp"):
+        counts = sub.x_bin.value_counts()
+        assert set(counts.index) <= {0, 1, 2, 3}
+        if len(sub) >= 4:
+            assert counts.max() - counts.min() <= 1   # NTILE balance
+        # monotone: higher bin never holds a smaller max value
+        maxes = sub.groupby("x_bin").x.max()
+        assert maxes.is_monotonic_increasing
+
+
+def test_approx_bins_monotone_and_balanced(tbl):
+    got = features.approx_bins(tbl, "x", 4, by="grp").toPandas()
+    for g, sub in got.groupby("grp"):
+        assert sub.x_bin.between(0, 3).all()
+        maxes = sub.groupby("x_bin").x.max()
+        assert maxes.is_monotonic_increasing
+        if len(sub) >= 40:   # big groups: roughly equal-count
+            counts = sub.x_bin.value_counts()
+            assert counts.max() <= 2 * counts.min()
+
+
+def test_approx_bins_broadcasts_cutoffs(tbl):
+    plan = features.approx_bins(tbl, "x", 4, by="grp") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_stats_matches_pandas(spark):
+    rng = np.random.default_rng(9)
+    rows = [(f"u{i % 3}", int(i), float(v))
+            for i, v in enumerate(rng.normal(0, 1, 60))]
+    df = spark.createDataFrame(rows, "key string, ts long, v double")
+    got = {(r.key, r.ts): (r.v_roll_mean, r.v_roll_std, r.v_roll_min,
+                           r.v_roll_max)
+           for r in features.rolling_stats(df, "key", "ts", "v",
+                                           window_rows=3).collect()}
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "v"])
+    for key, sub in pdf.sort_values("ts").groupby("key"):
+        roll = sub.v.rolling(3, min_periods=1)
+        for (ts, m, s, lo, hi) in zip(sub.ts, roll.mean(),
+                                      roll.std(ddof=0), roll.min(),
+                                      roll.max()):
+            gm, gs, glo, ghi = got[(key, ts)]
+            assert gm == pytest.approx(m, abs=1e-12)
+            assert gs == pytest.approx(0.0 if np.isnan(s) else s, abs=1e-9)
+            assert (glo, ghi) == (pytest.approx(lo), pytest.approx(hi))
