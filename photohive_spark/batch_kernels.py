@@ -300,8 +300,7 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
     bp = _bandpass_energy_batch(x, cfg)
     _t = _mark("bandpass_s", _t)
 
-    # per-doc small aggregates: blur profile framing + peaks + palette
-    peaks_list, pal_list = [], []
+    # blur profile framing + batched peaks + palette
     na, nr = cfg.angle_parts, cfg.radius_parts
     if n >= 2:
         w = min(n, cfg.frame_width)

@@ -24,19 +24,33 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
+def _join_group_stats(df: DataFrame, stats: DataFrame,
+                      by: str | None) -> DataFrame:
+    """Broadcast-join group stats back onto the table. NULL-SAFE on the
+    group key: groupBy keeps a null-key group, and a plain equi-join would
+    silently DROP every null-key row (null = null never matches) — rows
+    with a missing group key must keep their own group's stats."""
+    if not by:
+        return df.crossJoin(F.broadcast(stats))
+    stats = stats.withColumnRenamed(by, "_stats_key")
+    return (df.join(F.broadcast(stats),
+                    on=F.col(by).eqNullSafe(F.col("_stats_key")))
+            .drop("_stats_key"))
+
+
 def zscore(df: DataFrame, cols: list[str], by: str | None = None,
            suffix: str = "_z") -> DataFrame:
     """Per-group z-score: (x - mean) / stddev_pop, 0.0 where the group is
-    constant (stddev 0 — the convention that keeps downstream ML finite).
-    Group stats come from ONE groupBy (map-side partial) and broadcast
-    back; with ``by=None`` normalizes globally."""
+    constant (stddev 0 — the convention that keeps downstream ML finite);
+    null inputs stay null. Group stats come from ONE groupBy (map-side
+    partial) and broadcast back (null group keys form their own group);
+    with ``by=None`` normalizes globally."""
     keys = [by] if by else []
     aggs = []
     for c in cols:
         aggs += [F.avg(c).alias(f"_m_{c}"), F.stddev_pop(c).alias(f"_s_{c}")]
     stats = df.groupBy(*keys).agg(*aggs)
-    joined = df.join(F.broadcast(stats), on=keys) if keys else \
-        df.crossJoin(F.broadcast(stats))
+    joined = _join_group_stats(df, stats, by)
     out_cols = [joined[c] for c in df.columns]
     for c in cols:
         z = F.when(F.col(f"_s_{c}") > 0,
@@ -49,14 +63,14 @@ def zscore(df: DataFrame, cols: list[str], by: str | None = None,
 def minmax(df: DataFrame, cols: list[str], by: str | None = None,
            suffix: str = "_mm") -> DataFrame:
     """Per-group min-max scaling to [0, 1]; 0.0 where the group is
-    constant. Same one-agg + broadcast shape as zscore."""
+    constant; null inputs stay null. Same null-safe one-agg + broadcast
+    shape as zscore."""
     keys = [by] if by else []
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     stats = df.groupBy(*keys).agg(*aggs)
-    joined = df.join(F.broadcast(stats), on=keys) if keys else \
-        df.crossJoin(F.broadcast(stats))
+    joined = _join_group_stats(df, stats, by)
     out_cols = [joined[c] for c in df.columns]
     for c in cols:
         rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
@@ -87,29 +101,40 @@ def approx_bins(df: DataFrame, col: str, n_bins: int,
                 relative_error: float = 0.001) -> DataFrame:
     """Scale path for quantile binning: percentile_approx cutoffs
     (Greenwald-Khanna sketch, one agg shuffle) broadcast back, bin id =
-    count of interior cutoffs <= value (a pure array projection). Bins are
-    approximately equal-count; ids 0-based, monotone in the value."""
+    count of interior cutoffs STRICTLY BELOW the value (a pure array
+    projection). Strict ``>`` matters: GK cutoffs are actual data values,
+    so ``>=`` would push every cutoff-equal row one bin high — on a
+    tie-heavy column the majority value would land in the TOP bin with
+    the low bins empty, the opposite of equal-count intent. Bins are
+    approximately equal-count; ids 0-based, monotone in the value; null
+    values propagate null (not bin 0)."""
     out_col = out_col or f"{col}_bin"
     keys = [by] if by else []
     qs = [i / n_bins for i in range(1, n_bins)]
     cuts = df.groupBy(*keys).agg(
         F.percentile_approx(col, qs, int(1 / relative_error)).alias("_cuts"))
-    joined = df.join(F.broadcast(cuts), on=keys) if keys else \
-        df.crossJoin(F.broadcast(cuts))
-    bin_id = F.aggregate(
+    joined = _join_group_stats(df, cuts, by)
+    bin_id = F.when(
+        F.col(col).isNull(), F.lit(None).cast("int")
+    ).otherwise(F.aggregate(
         "_cuts", F.lit(0),
-        lambda acc, cut: acc + F.when(F.col(col) >= cut, 1).otherwise(0))
+        lambda acc, cut: acc + F.when(F.col(col) > cut, 1).otherwise(0)))
     return joined.select(*[joined[c] for c in df.columns],
                          bin_id.alias(out_col))
 
 
 def rolling_stats(df: DataFrame, key: str, ts: str, value: str,
-                  window_rows: int = 3) -> DataFrame:
+                  window_rows: int = 3,
+                  tiebreak: list[str] | None = None) -> DataFrame:
     """Per-entity trailing-window statistics over event time: mean, std,
     min, max of the last ``window_rows`` rows (current inclusive) — the
     classic point-in-time-safe rolling features (only PAST rows enter the
-    frame, so no temporal leakage by construction)."""
-    w = (Window.partitionBy(key).orderBy(F.col(ts).asc())
+    frame, so no temporal leakage by construction). Pass ``tiebreak``
+    columns when an entity can carry duplicate timestamps — an unpinned
+    rowsBetween frame over tied rows is ordered engine/run-dependently."""
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(),
+                  *[F.col(c).asc() for c in (tiebreak or [])])
          .rowsBetween(-(window_rows - 1), 0))
     return df.select(
         "*",

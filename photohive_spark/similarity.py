@@ -215,15 +215,49 @@ def ivf_topk_indexed(spark, path: str, centroids: np.ndarray,
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 
 
+def _infer_query_dim(queries: DataFrame, q_vec_col: str,
+                     dim: int | None) -> int:
+    """Embedding width from the first query row (one tiny action — query
+    batches are small by contract). A wrong hard-coded dim is a SILENT
+    disaster: zip_with null-pads short plane literals, every dot goes
+    null, every sign bit 0, and the whole corpus collapses into bucket 0
+    while driver-side signatures truncate — so infer, and fail loudly on
+    an explicit mismatch."""
+    first = queries.select(q_vec_col).head()
+    if first is None:
+        raise ValueError("query batch is empty")
+    real = len(first[0])
+    if dim is not None and dim != real:
+        raise ValueError(f"dim={dim} != query vector width {real}")
+    return real
+
+
+def _per_query_topk(qs: DataFrame, corpus: DataFrame, k: int,
+                    q_id_col: str, id_col: str) -> DataFrame:
+    """Broadcast bucket-join + per-query window top-k (shared by the
+    on-the-fly and indexed batch forms; tie-break = cosine desc, id asc,
+    same as lsh_topk)."""
+    from pyspark.sql import Window
+
+    joined = (F.broadcast(qs).join(corpus, on="bucket")
+              .select(q_id_col, id_col,
+                      F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def lsh_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "query_id", q_vec_col: str = "query_vec",
-                   dim: int = 64, n_planes: int = 8,
+                   dim: int | None = None, n_planes: int = 8,
                    seed: int = 42) -> DataFrame:
     """Batched ANN — the PRODUCTION query shape: one corpus scan answers
     MANY queries (per-query driver round-trips at 10^12 rows are absurd).
 
-    Both sides are bucketed with the same hyperplanes; the query side
+    Both sides are bucketed with the same hyperplanes (dim inferred from
+    the query batch; explicit mismatches fail loudly); the query side
     (small) BROADCASTS, so the bucket equi-join never shuffles the corpus;
     scoring touches only bucket-mates (~corpus/2^n_planes rows per query);
     per-query top-k is a window over the (bounded) candidate set — the
@@ -231,8 +265,7 @@ def lsh_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     Returns (q_id_col, id_col, cosine, rank<=k), tie-broken like lsh_topk
     (cosine desc, id asc)."""
-    from pyspark.sql import Window
-
+    dim = _infer_query_dim(queries, q_vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     corpus = emb.select(F.col(id_col), v.alias("v"),
@@ -240,46 +273,39 @@ def lsh_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 10,
     qv = F.col(q_vec_col).cast("array<double>")
     qs = queries.select(F.col(q_id_col), qv.alias("qv"),
                         lsh_bucket_expr(qv, planes).alias("bucket"))
-    joined = (F.broadcast(qs).join(corpus, on="bucket")
-              .select(q_id_col, id_col,
-                      F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
-                       .alias("cosine")))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (joined.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _per_query_topk(qs, corpus, k, q_id_col, id_col)
 
 
 def lsh_topk_batch_indexed(spark, path: str, queries: DataFrame,
                            k: int = 10, id_col: str = "vec_id",
                            q_id_col: str = "query_id",
                            q_vec_col: str = "query_vec",
-                           dim: int = 64, n_planes: int = 8,
+                           dim: int | None = None, n_planes: int = 8,
                            seed: int = 42) -> DataFrame:
     """Batched ANN over a write_lsh_index table — completes the
     {single, batch} x {on-the-fly, indexed} matrix: the union of the
     queries' bucket ids (collected driver-side — bounded by the query
     batch, not the corpus) becomes a partition IN-filter, so the scan
     touches only the probed bucket directories; then the same broadcast
-    bucket-join + per-query window as lsh_topk_batch."""
-    from pyspark.sql import Window
-
-    planes = hyperplanes(dim, n_planes, seed)
+    bucket-join + per-query window as lsh_topk_batch. The index must have
+    been written with the same dim (inferred here from the query batch) /
+    n_planes / seed — jobs/build_ann_index.py persists them in
+    _ann_meta.json."""
     qrows = queries.select(q_id_col, q_vec_col).collect()
-    sigs = {query_signature(planes, list(r[q_vec_col])) for r in qrows}
+    if not qrows:
+        raise ValueError("query batch is empty")
+    real_dim = len(qrows[0][q_vec_col])
+    if dim is not None and dim != real_dim:
+        raise ValueError(f"dim={dim} != query vector width {real_dim}")
+    planes = hyperplanes(real_dim, n_planes, seed)
+    keyed = [(r[q_id_col], [float(x) for x in r[q_vec_col]],
+              query_signature(planes, list(r[q_vec_col]))) for r in qrows]
     qid_type = queries.schema[q_id_col].dataType.simpleString()
     qs = spark.createDataFrame(
-        [(r[q_id_col], [float(x) for x in r[q_vec_col]],
-          query_signature(planes, list(r[q_vec_col]))) for r in qrows],
-        f"{q_id_col} {qid_type}, qv array<double>, bucket bigint")
+        keyed, f"{q_id_col} {qid_type}, qv array<double>, bucket bigint")
     corpus = spark.read.parquet(path).where(
-        F.col("bucket").isin([int(s) for s in sigs]))
-    joined = (F.broadcast(qs).join(corpus, on="bucket")
-              .select(q_id_col, id_col,
-                      F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
-                       .alias("cosine")))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (joined.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+        F.col("bucket").isin(sorted({int(s) for _, _, s in keyed})))
+    return _per_query_topk(qs, corpus, k, q_id_col, id_col)
 
 
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,

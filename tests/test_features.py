@@ -92,3 +92,53 @@ def test_rolling_stats_matches_pandas(spark):
             assert gm == pytest.approx(m, abs=1e-12)
             assert gs == pytest.approx(0.0 if np.isnan(s) else s, abs=1e-9)
             assert (glo, ghi) == (pytest.approx(lo), pytest.approx(hi))
+
+
+def test_null_group_keys_not_dropped(spark):
+    """Null group keys form their own group (null-safe stats join) —
+    a plain equi-join would silently drop these rows."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, None, 5.0), (4, None, 7.0)],
+        "id long, grp string, x double")
+    z = features.zscore(df, ["x"], by="grp")
+    assert z.count() == 4
+    got = {r.id: r.x_z for r in z.collect()}
+    assert got[3] == pytest.approx(-1.0) and got[4] == pytest.approx(1.0)
+    mm = features.minmax(df, ["x"], by="grp")
+    assert mm.count() == 4
+    ab = features.approx_bins(df, "x", 2, by="grp")
+    assert ab.count() == 4
+
+
+def test_approx_bins_null_value_propagates(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], "id long, x double")
+    got = {r.id: r.x_bin for r in features.approx_bins(df, "x", 2).collect()}
+    assert got[3] is None          # missing data is not 'lowest bin'
+    assert all(v is not None for k, v in got.items() if k != 3)
+
+
+def test_approx_bins_tie_heavy_keeps_low_bins(spark):
+    """Majority value equal to the cutoffs stays LOW (strict > semantics);
+    >= would dump it into the top bin and empty the low ones."""
+    rows = [(i, 1.0) for i in range(60)] + \
+           [(100 + i, float(2 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = features.approx_bins(df, "x", 4).toPandas()
+    majority_bins = set(got[got.x == 1.0].x_bin)
+    assert majority_bins == {0}
+    assert got.groupby("x_bin").x.max().is_monotonic_increasing
+
+
+def test_rolling_stats_tiebreak_deterministic(spark):
+    """Duplicate (key, ts) rows: the tiebreak column pins frame order, so
+    two runs (different partition layouts) agree."""
+    rows = [("u", 1, 1, 10.0), ("u", 1, 2, 20.0), ("u", 2, 3, 30.0)]
+    df = spark.createDataFrame(rows, "key string, ts long, seq long, v double")
+    run1 = {r.seq: r.v_roll_mean for r in features.rolling_stats(
+        df, "key", "ts", "v", window_rows=2, tiebreak=["seq"]).collect()}
+    run2 = {r.seq: r.v_roll_mean for r in features.rolling_stats(
+        df.repartition(7), "key", "ts", "v", window_rows=2,
+        tiebreak=["seq"]).collect()}
+    assert run1 == run2
+    assert run1[2] == pytest.approx(15.0) and run1[3] == pytest.approx(25.0)
