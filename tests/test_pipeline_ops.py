@@ -524,3 +524,29 @@ def test_lsh_topk_batch_indexed_prunes_and_matches(spark, sf_dir, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and \
         "bucket" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_minhash_fast_hash_finds_dups(docs):
+    """hash_fn='fast' (xxhash64 word hashes, the scale path) recovers the
+    same exact-verified dup pairs as the oracle poly hash on the fixture
+    corpus; jaccard values are identical (the verify stage is shared and
+    string-exact)."""
+    poly = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                             bands=8).collect()}
+    fast = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, bands=8,
+                                             hash_fn="fast").collect()}
+    # exact dups are always recovered by any uniform hash (identical sigs)
+    assert ("d0", "d1") in fast and fast[("d0", "d1")] == 1.0
+    # verified jaccard agrees on the shared pairs; both find the near-dup
+    for p in poly.keys() & fast.keys():
+        assert poly[p] == fast[p]
+    assert ("d0", "d2") in fast or ("d1", "d2") in fast
+
+
+def test_fast_shingle_hashes_short_docs(spark):
+    """Docs with fewer than k words produce exactly one shingle hash
+    (all words), mirroring word_shingles."""
+    df = spark.createDataFrame([("s", "one two")], "doc_id string, text string")
+    assert dedup.fast_shingle_hashes(df, k=3).count() == 1
