@@ -320,18 +320,30 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = SIMHASH_BITS) -> DataFrame:
+            bits: int = SIMHASH_BITS, hash_fn: str = "poly") -> DataFrame:
     """Per-doc SimHash over word hashes: bit b set iff the majority of
     words have bit b set ( sum(±1) > 0 ). Returns (doc_id, simhash bigint).
 
     Single shuffle: explode words -> groupBy(doc) with `bits` sum()
     aggregates -> bit-assemble projection.
+
+    ``hash_fn``: "poly" (default) = per-character poly word hash, DuckDB-
+    oracle-reproducible but INTERPRETED (HOFs are CodegenFallback — the
+    same ~30x lever as minhash's fast path); "fast" = lower ``bits`` of
+    the codegen xxhash64 intrinsic — different hash values, same uniform-
+    bit semantics, the 10^12-doc path.
     """
-    words = (docs.select(
+    words = docs.select(
         F.col(id_col),
         F.explode(F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
          .alias("w"))
-        .withColumn("h", F.expr(poly_hash_expr("w"))))
+    if hash_fn == "fast":
+        words = words.withColumn(
+            "h", F.xxhash64("w").bitwiseAND(F.lit((1 << bits) - 1)))
+    elif hash_fn == "poly":
+        words = words.withColumn("h", F.expr(poly_hash_expr("w")))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sums = words.groupBy(id_col).agg(*[
         F.sum(((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) * 2 - 1))
         .alias(f"s{b}") for b in range(bits)])
@@ -397,7 +409,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3, bands: int = 4,
-                          bits: int = SIMHASH_BITS) -> DataFrame:
+                          bits: int = SIMHASH_BITS,
+                          hash_fn: str = "poly") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
     Pigeonhole banding: the ``bits``-bit simhash splits into ``bands``
@@ -415,7 +428,7 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
                          f"({max_hamming} >= {bands})")
     width = bits // bands
     mask = (1 << width) - 1
-    sim = simhash(docs, text_col, id_col, bits)
+    sim = simhash(docs, text_col, id_col, bits, hash_fn)
     keyed = (sim.select(
         id_col, "simhash",
         F.explode(F.array(*[

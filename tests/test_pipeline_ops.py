@@ -550,3 +550,17 @@ def test_fast_shingle_hashes_short_docs(spark):
     (all words), mirroring word_shingles."""
     df = spark.createDataFrame([("s", "one two")], "doc_id string, text string")
     assert dedup.fast_shingle_hashes(df, k=3).count() == 1
+
+
+def test_simhash_fast_hash_properties(docs):
+    """hash_fn='fast' simhash: identical text -> identical hash; near-dup
+    closer than unrelated; neardup banding still finds exact dup pairs."""
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(docs, hash_fn="fast").collect()}
+    assert got["d0"] == got["d1"]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got["d0"], got["d2"]) < ham(got["d0"], got["d3"])
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.simhash_neardup_pairs(
+                 docs, max_hamming=3, hash_fn="fast").collect()}
+    assert ("d0", "d1") in pairs
