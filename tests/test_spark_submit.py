@@ -91,3 +91,47 @@ def test_spark_submit_build_ann_index(tmp_path, spark, sf_dir):
     want = similarity.ivf_topk(emb, q, k=5, n_probe=3, centroids=cents)
     assert [(r2.vec_id, r2.cosine) for r2 in got.collect()] == \
            [(r2.vec_id, r2.cosine) for r2 in want.collect()]
+
+
+def test_spark_submit_run_dedup_and_resume(tmp_path, spark, sf_dir):
+    """End-to-end dedup job: drops exact/near dups keeping min-id reps,
+    keeps singletons, and the bucketed output write is resumable."""
+    import pyspark.sql.functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(40))
+    # plant exact duplicates of the first 10 docs
+    dups = (docs.limit(10)
+            .select(F.concat(F.lit("dup_"), "doc_id").alias("doc_id"), "text"))
+    corpus_path = str(tmp_path / "corpus.parquet")
+    docs.unionByName(dups).write.parquet(corpus_path)
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "clean")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_dedup.py"),
+           "--docs", corpus_path, "--output", out,
+           "--threshold", "0.9", "--hash", "fast", "--n-buckets", "4"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["n_docs"] == 50
+    assert stat["docs_dropped"] >= 10          # every planted dup drops
+    assert stat["docs_kept"] == 50 - stat["docs_dropped"]
+
+    from photohive_spark import lineage
+    kept = {r2.doc_id for r2 in
+            lineage.read_result(spark, out).select("doc_id").collect()}
+    assert len(kept) == stat["docs_kept"]
+    # min-id representative: 'NN' < 'dup_NN' lexicographically
+    assert not any(d.startswith("dup_") for d in kept)
+
+    # resume: second run writes zero buckets
+    r2_ = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r2_.returncode == 0, r2_.stderr[-3000:]
+    stat2 = json.loads(r2_.stdout.strip().splitlines()[-1])
+    assert stat2["buckets_run"] == 0 and stat2["buckets_done"] == 4
