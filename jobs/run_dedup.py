@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--cc-method", choices=["star", "propagate"],
                     default="star")
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--pairs-dir", default=None,
+                    help="optional parquet dir for the verified near-dup "
+                         "pairs: written on first run, REUSED on resume — "
+                         "so a restart skips the expensive LSH+verify "
+                         "stage, not just the output write")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -55,10 +60,22 @@ def main() -> None:
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     n_docs = docs.count()
 
-    pairs = dedup.minhash_lsh_pairs(
-        docs, threshold=args.threshold, k=args.k,
-        max_bucket_size=args.max_bucket_size,
-        hash_fn=args.hash).localCheckpoint()
+    import os
+    pairs_reused = False
+    if args.pairs_dir and os.path.exists(
+            os.path.join(args.pairs_dir, "_SUCCESS")):
+        pairs = spark.read.parquet(args.pairs_dir)
+        pairs_reused = True
+    else:
+        pairs = dedup.minhash_lsh_pairs(
+            docs, threshold=args.threshold, k=args.k,
+            max_bucket_size=args.max_bucket_size,
+            hash_fn=args.hash)
+        if args.pairs_dir:
+            pairs.write.mode("overwrite").parquet(args.pairs_dir)
+            pairs = spark.read.parquet(args.pairs_dir)
+        else:
+            pairs = pairs.localCheckpoint()
     n_pairs = pairs.count()
 
     # only docs that appear in a pair need cluster labels; everything else
@@ -79,6 +96,7 @@ def main() -> None:
     done = lineage.completed_buckets(args.output)
     print(json.dumps({
         "n_docs": n_docs, "near_dup_pairs": n_pairs,
+        "pairs_reused": pairs_reused,
         "docs_dropped": n_drop, "docs_kept": n_docs - n_drop,
         "buckets_run": len(entries), "buckets_done": len(done),
         "wall_s": round(time.time() - t0, 2),

@@ -115,7 +115,8 @@ def test_spark_submit_run_dedup_and_resume(tmp_path, spark, sf_dir):
            "--py-files", zf,
            os.path.join(root, "jobs", "run_dedup.py"),
            "--docs", corpus_path, "--output", out,
-           "--threshold", "0.9", "--hash", "fast", "--n-buckets", "4"]
+           "--threshold", "0.9", "--hash", "fast", "--n-buckets", "4",
+           "--pairs-dir", str(tmp_path / "pairs")]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-3000:]
     stat = json.loads(r.stdout.strip().splitlines()[-1])
@@ -135,3 +136,6 @@ def test_spark_submit_run_dedup_and_resume(tmp_path, spark, sf_dir):
     assert r2_.returncode == 0, r2_.stderr[-3000:]
     stat2 = json.loads(r2_.stdout.strip().splitlines()[-1])
     assert stat2["buckets_run"] == 0 and stat2["buckets_done"] == 4
+    # the expensive LSH+verify stage was skipped too (pairs checkpoint)
+    assert stat2["pairs_reused"] is True
+    assert stat2["near_dup_pairs"] == stat["near_dup_pairs"]
