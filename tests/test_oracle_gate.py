@@ -99,3 +99,18 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert "tokens" in df.columns and "rms_mean" in df.columns
+
+
+def test_registry_ordering_contract():
+    """The driver records at most the first ~50 queries() entries (r2
+    registered 52 and exactly the first 50 got CORRECTNESS rows). The
+    contract: every oracle-checked query occupies the first 50 slots;
+    anything after slot 50 must be either rows-only (no oracle — pytest
+    covers it) or an explicitly-optional oracled extra."""
+    qs = list(E.queries().keys())
+    osql = E.oracle_sql()
+    missing = [k for k in qs[:50] if k not in osql]
+    assert not missing, f"non-oracled queries inside the top 50: {missing}"
+    # rows-only entries must sit at the very end
+    rows_only = [k for k in qs if k not in osql]
+    assert rows_only == qs[-len(rows_only):], rows_only
