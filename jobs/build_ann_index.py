@@ -79,8 +79,9 @@ def main() -> None:
     # needs the same planes/centroids the writer used. Written through the
     # Hadoop FileSystem API so hdfs://... / s3a://... outputs work — a local
     # open() would fail on the driver AFTER the expensive index write.
-    _write_text(spark, os.path.join(args.output, "_ann_meta.json"),
-                json.dumps(meta))
+    from photohive_spark.lineage import hadoop_write_text
+    hadoop_write_text(spark, os.path.join(args.output, "_ann_meta.json"),
+                      json.dumps(meta))
     # row count read back from the just-written index (partition-local
     # parquet footers), not a second full scan of the input
     n = spark.read.parquet(args.output).count()
@@ -89,18 +90,6 @@ def main() -> None:
                       "output": args.output}))
     spark.stop()
 
-
-def _write_text(spark, path: str, content: str) -> None:
-    """Write a small text file through Hadoop FS (works for file://, hdfs://,
-    s3a:// — wherever the index itself was written)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
 
 
 if __name__ == "__main__":

@@ -60,10 +60,23 @@ def main() -> None:
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     n_docs = docs.count()
 
-    import os
+    # pairs checkpoint: Hadoop-FS detection (os.path.exists never sees
+    # hdfs://s3a:// paths) + a parameter fingerprint — resuming with
+    # different threshold/k/hash/cap against stale pairs would silently
+    # mislabel the output, so mismatches fail loudly.
+    params = {"threshold": args.threshold, "k": args.k, "hash": args.hash,
+              "max_bucket_size": args.max_bucket_size}
     pairs_reused = False
-    if args.pairs_dir and os.path.exists(
-            os.path.join(args.pairs_dir, "_SUCCESS")):
+    if args.pairs_dir and lineage.hadoop_exists(
+            spark, f"{args.pairs_dir}/_SUCCESS"):
+        meta_path = f"{args.pairs_dir}/_pairs_meta.json"
+        recorded = (json.loads(lineage.hadoop_read_text(spark, meta_path))
+                    if lineage.hadoop_exists(spark, meta_path) else None)
+        if recorded != params:
+            raise SystemExit(
+                f"--pairs-dir {args.pairs_dir} was built with {recorded}, "
+                f"current run wants {params}; delete the dir or match "
+                f"the parameters")
         pairs = spark.read.parquet(args.pairs_dir)
         pairs_reused = True
     else:
@@ -73,6 +86,9 @@ def main() -> None:
             hash_fn=args.hash)
         if args.pairs_dir:
             pairs.write.mode("overwrite").parquet(args.pairs_dir)
+            lineage.hadoop_write_text(
+                spark, f"{args.pairs_dir}/_pairs_meta.json",
+                json.dumps(params))
             pairs = spark.read.parquet(args.pairs_dir)
         else:
             pairs = pairs.localCheckpoint()

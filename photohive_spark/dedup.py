@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from .config import VOCAB_SIZE
@@ -63,6 +63,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").alias("dup_count")))
 
 
+def _word_gram_rows(docs: DataFrame, text_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """Shared k-gram scaffolding for both shingle builders: one row per
+    kept gram start position with columns (id_col, _pos, _w, _keep).
+
+    posexplode_OUTER so a zero-word doc still yields one row (null
+    _pos/_w) — the HOF form and the DuckDB oracle emit one empty-string
+    shingle for empty docs (sequence(1, greatest(1, ...))), and dropping
+    them would silently exempt empty docs from dedup/decontamination and
+    break Spark-vs-oracle parity. Short docs (< k words) keep only
+    position 0 (the single all-words gram)."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.expr(
+            f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
+        .alias("_pos", "_w"))
+    nw = F.count("_pos").over(Window.partitionBy(id_col))
+    keep = (F.col("_pos").isNull()
+            | (F.col("_pos") + (k - 1) < nw)
+            | ((F.col("_pos") == 0) & (nw <= k - 1)))
+    return words.withColumn("_keep", keep)
+
+
 def word_shingles(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc: (doc_id, shingle string).
@@ -70,25 +93,16 @@ def word_shingles(docs: DataFrame, text_col: str = "text",
     Codegen form: posexplode the words (one shallow HOF filter per doc),
     then assemble each k-gram with window lead()s + concat_ws (which
     skips the null leads of a short doc, reproducing the single
-    all-words shingle), then distinct. Set-identical to the original
-    all-HOF form (split -> transform(sequence) -> array_join ->
-    array_distinct), which ran INTERPRETED per element (Spark HOFs are
-    CodegenFallback) and dominated 500k-doc dedup profiles; the window
-    pays one exchange on id_col instead."""
-    from pyspark.sql import Window
-
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(
-            f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
-        .alias("_pos", "_w"))
+    all-words shingle; an empty doc's all-null row becomes the ""
+    shingle), then distinct. Set-identical to the original all-HOF form
+    (split -> transform(sequence) -> array_join -> array_distinct), which
+    ran INTERPRETED per element (Spark HOFs are CodegenFallback) and
+    dominated 500k-doc dedup profiles; the window pays one exchange on
+    id_col instead."""
+    rows = _word_gram_rows(docs, text_col, id_col, k)
     win = Window.partitionBy(id_col).orderBy("_pos")
-    nw = F.count("*").over(Window.partitionBy(id_col))
     parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
-    keep = (F.col("_pos") + (k - 1) < nw) | \
-           ((F.col("_pos") == 0) & (nw <= k - 1))
-    return (words.withColumn("_keep", keep)
-            .withColumn("shingle", F.concat_ws(" ", *parts))
+    return (rows.withColumn("shingle", F.concat_ws(" ", *parts))
             .where("_keep").select(id_col, "shingle").distinct())
 
 
@@ -111,29 +125,19 @@ def fast_shingle_hashes(docs: DataFrame, text_col: str = "text",
     Output is NOT distinct-per-doc: MinHash's min() is identical over
     multiset and set, so deduplicating shingles first would only add a
     shuffle (exact Jaccard verification uses the string path separately).
-    Short docs (< k words) produce one shingle combining all words,
-    mirroring word_shingles. The window costs ONE exchange on id_col,
-    which the downstream minhash groupBy(id_col) then reuses."""
-    from pyspark.sql import Window
-
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(
-            f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
-        .alias("_pos", "_w"))
-    wh = words.select(
-        id_col, "_pos",
-        F.pmod(F.xxhash64("_w"), F.lit(MERSENNE)).alias("_h"))
+    Short docs (< k words) produce one shingle combining all words and an
+    empty doc one constant hash (so byte-identical empty docs still
+    collide), mirroring word_shingles. The window costs ONE exchange on
+    id_col, which the downstream minhash groupBy(id_col) then reuses."""
+    rows = _word_gram_rows(docs, text_col, id_col, k).withColumn(
+        "_h", F.pmod(F.xxhash64("_w"), F.lit(MERSENNE)))
     win = Window.partitionBy(id_col).orderBy("_pos")
-    nw = F.count("*").over(Window.partitionBy(id_col))
-    leads = [F.lead("_h", j).over(win) for j in range(1, k)]
     comb = F.col("_h")
-    for hj in leads:
+    for j in range(1, k):
+        hj = F.lead("_h", j).over(win)
         comb = F.when(hj.isNotNull(),
                       F.pmod(comb * 31 + hj, F.lit(MERSENNE))).otherwise(comb)
-    keep = (F.col("_pos") + (k - 1) < nw) | \
-           ((F.col("_pos") == 0) & (nw <= k - 1))
-    return (wh.withColumn("_keep", keep).withColumn("h", comb)
+    return (rows.withColumn("h", F.coalesce(comb, F.lit(0)))
             .where("_keep").select(id_col, "h"))
 
 
@@ -522,7 +526,8 @@ def _star_edges_fixpoint(e: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
     (Kiveris et al. 2014; O(log^2 n) worst case, O(log n) in practice —
     the deep-chain property test observes ~log2(n) rounds)."""
     e = e.localCheckpoint(eager=False)
-    for rounds in range(1, max_iters + 1):
+    prev_count = None   # carries new.count() across rounds: e is the
+    for rounds in range(1, max_iters + 1):  # unmodified prior result
         # large-star over the undirected adjacency
         adj = e.select("hi", "lo").unionByName(
             e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
@@ -542,10 +547,12 @@ def _star_edges_fixpoint(e: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
                .localCheckpoint(eager=False))
         # set equality check, short-circuited: both sides are distinct, so
         # equal counts + empty one-sided difference <=> equal sets (avoids
-        # a second exceptAll job every unconverged round)
-        changed = (new.count() != e.count()) or \
-            (new.exceptAll(e).count() > 0)
-        e = new
+        # a second exceptAll job every unconverged round); e's count is
+        # carried from the previous round's new.count()
+        e_count = prev_count if prev_count is not None else e.count()
+        new_count = new.count()
+        changed = (new_count != e_count) or (new.exceptAll(e).count() > 0)
+        e, prev_count = new, new_count
         if not changed:
             return e, rounds
     raise RuntimeError(

@@ -53,7 +53,11 @@ def zscore(df: DataFrame, cols: list[str], by: str | None = None,
     joined = _join_group_stats(df, stats, by)
     out_cols = [joined[c] for c in df.columns]
     for c in cols:
-        z = F.when(F.col(f"_s_{c}") > 0,
+        # null input -> null output (a missing measurement must not become
+        # an at-mean 0.0 — the same contract as approx_bins); the 0.0
+        # fallback applies only to NON-null values in constant groups
+        z = F.when(F.col(c).isNull(), F.lit(None).cast("double")) \
+             .when(F.col(f"_s_{c}") > 0,
                    (F.col(c) - F.col(f"_m_{c}")) / F.col(f"_s_{c}")) \
              .otherwise(F.lit(0.0))
         out_cols.append(z.alias(f"{c}{suffix}"))
@@ -74,7 +78,8 @@ def minmax(df: DataFrame, cols: list[str], by: str | None = None,
     out_cols = [joined[c] for c in df.columns]
     for c in cols:
         rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
-        mm = F.when(rng > 0, (F.col(c) - F.col(f"_lo_{c}")) / rng) \
+        mm = F.when(F.col(c).isNull(), F.lit(None).cast("double")) \
+              .when(rng > 0, (F.col(c) - F.col(f"_lo_{c}")) / rng) \
               .otherwise(F.lit(0.0))
         out_cols.append(mm.alias(f"{c}{suffix}"))
     return joined.select(*out_cols)

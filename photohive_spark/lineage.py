@@ -30,6 +30,43 @@ def bucket_of(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
 
 
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — unlike
+    os.path.exists this works for hdfs:// and s3a:// paths (jobs that
+    checkpoint to the same filesystem as their output must detect the
+    checkpoint there, not on the driver's local disk)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def hadoop_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file through Hadoop FS (file://, hdfs://,
+    s3a:// — wherever the data itself was written)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through Hadoop FS (py4j cannot mutate Java
+    byte[] buffers in place, so delegate the stream drain to commons-io,
+    which ships on Spark's classpath)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def completed_buckets(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(mdir):

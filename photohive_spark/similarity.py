@@ -215,21 +215,25 @@ def ivf_topk_indexed(spark, path: str, centroids: np.ndarray,
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 
 
-def _infer_query_dim(queries: DataFrame, q_vec_col: str,
-                     dim: int | None) -> int:
-    """Embedding width from the first query row (one tiny action — query
-    batches are small by contract). A wrong hard-coded dim is a SILENT
-    disaster: zip_with null-pads short plane literals, every dot goes
-    null, every sign bit 0, and the whole corpus collapses into bucket 0
-    while driver-side signatures truncate — so infer, and fail loudly on
-    an explicit mismatch."""
-    first = queries.select(q_vec_col).head()
-    if first is None:
-        raise ValueError("query batch is empty")
-    real = len(first[0])
+def _validate_dim(real: int, dim: int | None) -> int:
+    """A wrong hard-coded dim is a SILENT disaster: zip_with null-pads
+    short plane literals, every dot goes null, every sign bit 0, and the
+    whole corpus collapses into bucket 0 while driver-side signatures
+    truncate — so the batch ANN forms infer the width from the query
+    batch and fail loudly on an explicit mismatch."""
     if dim is not None and dim != real:
         raise ValueError(f"dim={dim} != query vector width {real}")
     return real
+
+
+def _infer_query_dim(queries: DataFrame, q_vec_col: str,
+                     dim: int | None) -> int:
+    """Embedding width from the first query row (one tiny action — query
+    batches are small by contract)."""
+    first = queries.select(q_vec_col).head()
+    if first is None:
+        raise ValueError("query batch is empty")
+    return _validate_dim(len(first[0]), dim)
 
 
 def _per_query_topk(qs: DataFrame, corpus: DataFrame, k: int,
@@ -294,10 +298,8 @@ def lsh_topk_batch_indexed(spark, path: str, queries: DataFrame,
     qrows = queries.select(q_id_col, q_vec_col).collect()
     if not qrows:
         raise ValueError("query batch is empty")
-    real_dim = len(qrows[0][q_vec_col])
-    if dim is not None and dim != real_dim:
-        raise ValueError(f"dim={dim} != query vector width {real_dim}")
-    planes = hyperplanes(real_dim, n_planes, seed)
+    planes = hyperplanes(_validate_dim(len(qrows[0][q_vec_col]), dim),
+                         n_planes, seed)
     keyed = [(r[q_id_col], [float(x) for x in r[q_vec_col]],
               query_signature(planes, list(r[q_vec_col]))) for r in qrows]
     qid_type = queries.schema[q_id_col].dataType.simpleString()

@@ -564,3 +564,29 @@ def test_simhash_fast_hash_properties(docs):
              for r in dedup.simhash_neardup_pairs(
                  docs, max_hamming=3, hash_fn="fast").collect()}
     assert ("d0", "d1") in pairs
+
+
+def test_word_shingles_empty_doc_parity(spark):
+    """Zero-word docs emit exactly one empty-string shingle (the HOF/
+    DuckDB-oracle semantics: sequence(1, greatest(1, ...)) always yields
+    one gram) — dropping them would exempt empty docs from dedup and
+    break Spark-vs-oracle parity. fast_shingle_hashes gives them one
+    CONSTANT hash so byte-identical empty docs still collide."""
+    df = spark.createDataFrame(
+        [("e1", ""), ("e2", "   "), ("w1", "one two three four")],
+        "doc_id string, text string")
+    got = {}
+    for r in dedup.word_shingles(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    assert got["e1"] == {""} and got["e2"] == {""}
+    assert len(got["w1"]) == 2
+    fast = {}
+    for r in dedup.fast_shingle_hashes(df).collect():
+        fast.setdefault(r.doc_id, []).append(r.h)
+    # one constant hash per empty doc (xxhash64(null) = its seed, 42)
+    assert fast["e1"] == fast["e2"] and len(fast["e1"]) == 1
+    # and exact_dedup-compatible: two empty docs become a minhash dup pair
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.minhash_lsh_pairs(df, threshold=0.99,
+                                              hash_fn="fast").collect()}
+    assert ("e1", "e2") in pairs
