@@ -87,8 +87,12 @@ def _word_gram_rows(docs: DataFrame, text_col: str, id_col: str,
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", k: int = 3,
+                  distinct: bool = True) -> DataFrame:
     """Distinct word k-gram shingles per doc: (doc_id, shingle string).
+    ``distinct=False`` skips the per-doc dedup exchange for consumers
+    whose aggregate is multiset-invariant (MinHash min()); set-counting
+    consumers (Jaccard verify, decontaminate, ngram) need the default.
 
     Codegen form: posexplode the words (one shallow HOF filter per doc),
     then assemble each k-gram with window lead()s + concat_ws (which
@@ -102,8 +106,9 @@ def word_shingles(docs: DataFrame, text_col: str = "text",
     rows = _word_gram_rows(docs, text_col, id_col, k)
     win = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
-    return (rows.withColumn("shingle", F.concat_ws(" ", *parts))
-            .where("_keep").select(id_col, "shingle").distinct())
+    out = (rows.withColumn("shingle", F.concat_ws(" ", *parts))
+           .where("_keep").select(id_col, "shingle"))
+    return out.distinct() if distinct else out
 
 
 def fast_shingle_hashes(docs: DataFrame, text_col: str = "text",
@@ -157,7 +162,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     if hash_fn == "fast":
         hashed = fast_shingle_hashes(docs, text_col, id_col, k)
     elif hash_fn == "poly":
-        sh = word_shingles(docs, text_col, id_col, k)
+        # distinct=False: min() is multiset-invariant, so the per-doc
+        # shingle dedup exchange would be pure cost here
+        sh = word_shingles(docs, text_col, id_col, k, distinct=False)
         hashed = sh.withColumn("h", F.expr(poly_hash_expr("shingle")))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
