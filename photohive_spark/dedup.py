@@ -74,12 +74,16 @@ def _word_gram_rows(docs: DataFrame, text_col: str, id_col: str,
     them would silently exempt empty docs from dedup/decontamination and
     break Spark-vs-oracle parity. Short docs (< k words) keep only
     position 0 (the single all-words gram)."""
-    words = docs.select(
+    arr = docs.select(
         F.col(id_col),
-        F.posexplode_outer(F.expr(
-            f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
-        .alias("_pos", "_w"))
-    nw = F.count("_pos").over(Window.partitionBy(id_col))
+        F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)")
+        .alias("_ws"))
+    # word count carried from the array itself — a count-over-partition
+    # window here would add a second window stage to every consumer
+    words = arr.select(
+        F.col(id_col), F.size("_ws").alias("_nw"),
+        F.posexplode_outer("_ws").alias("_pos", "_w"))
+    nw = F.col("_nw")
     keep = (F.col("_pos").isNull()
             | (F.col("_pos") + (k - 1) < nw)
             | ((F.col("_pos") == 0) & (nw <= k - 1)))
