@@ -70,13 +70,26 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               assign_fn: str = "sql") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (argmax cosine over a small literal centroid set, all JVM-side).
-    For the scale path, feed this through ``write_ivf_index`` — the output
-    is written partitioned by ``ivf_cell`` so ``ivf_topk_indexed`` probes
-    scan only n_probe partition directories (true partition pruning);
-    ``ivf_topk`` below recomputes the assignment on the fly instead."""
+    (argmax cosine). For the scale path, feed this through
+    ``write_ivf_index`` — the output is written partitioned by
+    ``ivf_cell`` so ``ivf_topk_indexed`` probes scan only n_probe
+    partition directories (true partition pruning); ``ivf_topk`` below
+    recomputes the assignment on the fly instead.
+
+    ``assign_fn``: "sql" = per-centroid zip_with dot products, exactly
+    reproducible in the DuckDB oracle BUT interpreted (HOF lambdas are
+    CodegenFallback — measured 465 s to assign 1M x 64 cells); "pandas" =
+    one Arrow-batched numpy GEMM per batch (the engine's kernel pattern;
+    measured ~20x faster), tie-broken like F.greatest(struct) (largest
+    cell wins) though FP summation order can flip true near-ties vs sql.
+    """
+    if assign_fn == "pandas":
+        return _ivf_assign_pandas(emb, centroids, id_col, vec_col)
+    if assign_fn != "sql":
+        raise ValueError(f"unknown assign_fn {assign_fn!r}")
     v = F.col(vec_col).cast("array<double>")
     scores = []
     for ci, c in enumerate(centroids):
@@ -86,6 +99,38 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     return emb.select(F.col(id_col), v.alias("v"),
                       best["cell"].alias("ivf_cell"))
+
+
+def _ivf_assign_pandas(emb: DataFrame, centroids: np.ndarray,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Arrow-batched GEMM assignment: cell = argmax over V @ C^T (the
+    per-row norm is a positive scalar, so it cannot change the argmax —
+    centroids are unit-norm by construction). Ties pick the LARGEST cell,
+    matching the sql path's F.greatest(struct(s, cell)) semantics."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
+    n_cells = C.shape[1]
+    schema = T.StructType([
+        emb.schema[id_col],
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("ivf_cell", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            S = V @ C
+            cell = (n_cells - 1) - np.argmax(S[:, ::-1], axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "v": list(V),
+                "ivf_cell": cell.astype(np.int32),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def ivf_centroids_from_sample(emb, n_cells: int = 8,
@@ -117,14 +162,16 @@ def ivf_centroids_from_sample(emb, n_cells: int = 8,
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_cells: int = 8, n_probe: int = 2,
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             assign_fn: str = "sql") -> DataFrame:
     """IVF ANN top-k: score only vectors in the query's ``n_probe`` nearest
     cells. With the table pre-partitioned by ivf_cell this is a pruned
-    scan of n_probe/n_cells of the corpus."""
+    scan of n_probe/n_cells of the corpus. ``assign_fn`` as in ivf_assign
+    (default sql = the DuckDB-oracle-exact form)."""
     if centroids is None:
         centroids = ivf_centroids_from_sample(emb, n_cells, vec_col, id_col)
     probes = probe_cells(centroids, query_vec, n_probe)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, assign_fn)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.where(F.col("ivf_cell").isin(probes))
             .select(id_col,
@@ -178,14 +225,17 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
 
 def write_ivf_index(emb: DataFrame, path: str, centroids: np.ndarray,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    assign_fn: str = "pandas") -> None:
     """Materialize the IVF index: ``ivf_assign`` output written PARTITIONED
     BY ``ivf_cell``, mirroring ``write_lsh_index``. A probe then scans only
     its n_probe cell directories — with n_cells sized ~sqrt(corpus), a
     10^12-row corpus answers a query from ~n_probe/sqrt(n) of the data and
     the rest never leaves disk. Centroids must be persisted alongside by
-    the caller (they are tiny; jobs stash them next to the index)."""
-    (ivf_assign(emb, centroids, id_col, vec_col)
+    the caller (they are tiny; jobs stash them next to the index).
+    Defaults to the GEMM assignment (the build is the scale-critical
+    pass: ~20x the interpreted sql path at 1M x 64 cells)."""
+    (ivf_assign(emb, centroids, id_col, vec_col, assign_fn)
      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path))
 
 

@@ -371,7 +371,10 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     similarity.write_ivf_index(emb, path, cents)
 
     got = similarity.ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=3)
-    want = similarity.ivf_topk(emb, q, k=10, n_probe=3, centroids=cents)
+    # same (pandas/GEMM) assignment on both sides: the sql path's fold-order
+    # cosines could flip a true near-tie cell and make this test flaky
+    want = similarity.ivf_topk(emb, q, k=10, n_probe=3, centroids=cents,
+                               assign_fn="pandas")
     assert [(r.vec_id, r.cosine) for r in got.collect()] == \
            [(r.vec_id, r.cosine) for r in want.collect()]
 

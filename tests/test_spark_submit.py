@@ -88,7 +88,8 @@ def test_spark_submit_build_ann_index(tmp_path, spark, sf_dir):
     q = [float(x) for x in
          emb.orderBy("vec_id").limit(1).collect()[0].embedding]
     got = similarity.ivf_topk_indexed(spark, out, cents, q, k=5, n_probe=3)
-    want = similarity.ivf_topk(emb, q, k=5, n_probe=3, centroids=cents)
+    want = similarity.ivf_topk(emb, q, k=5, n_probe=3, centroids=cents,
+                               assign_fn="pandas")
     assert [(r2.vec_id, r2.cosine) for r2 in got.collect()] == \
            [(r2.vec_id, r2.cosine) for r2 in want.collect()]
 
