@@ -63,9 +63,13 @@ def main() -> None:
     # pairs checkpoint: Hadoop-FS detection (os.path.exists never sees
     # hdfs://s3a:// paths) + a parameter fingerprint — resuming with
     # different threshold/k/hash/cap against stale pairs would silently
-    # mislabel the output, so mismatches fail loudly.
+    # mislabel the output, so mismatches fail loudly. The fingerprint also
+    # pins the CORPUS (docs path + row count): resuming with a different
+    # --docs against an existing pairs checkpoint would otherwise apply
+    # another corpus's near-dup pairs and silently mis-deduplicate.
     params = {"threshold": args.threshold, "k": args.k, "hash": args.hash,
-              "max_bucket_size": args.max_bucket_size}
+              "max_bucket_size": args.max_bucket_size,
+              "docs": args.docs, "n_docs": n_docs}
     pairs_reused = False
     if args.pairs_dir and lineage.hadoop_exists(
             spark, f"{args.pairs_dir}/_SUCCESS"):

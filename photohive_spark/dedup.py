@@ -185,7 +185,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.5,
                       max_bucket_size: int | None = None,
                       materialize: str = "local_checkpoint",
-                      hash_fn: str = "poly") -> DataFrame:
+                      hash_fn: str = "poly",
+                      cache_handle: list | None = None) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     jaccard >= threshold.
@@ -260,11 +261,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # - "checkpoint": reliable checkpoint to spark.checkpoint.dir —
     #   survives executor loss; costs an fs write. Right for multi-node
     #   clusters.
-    # - "persist": keeps lineage (recomputable on block loss); the persisted
-    #   handle is exposed as ``._cached_candidates`` on the returned
-    #   DataFrame so callers CAN unpersist after materializing (without the
-    #   handle the r1 leak would just come back with extra steps); blocks
-    #   are also released by the ContextCleaner once the result is GC'd.
+    # - "persist": keeps lineage (recomputable on block loss). Pass
+    #   ``cache_handle=[]`` to receive the persisted candidates DataFrame
+    #   (appended to the list) so you can ``handle.unpersist()`` after
+    #   materializing the result — an attribute on the returned DataFrame
+    #   would be lost on the first downstream transformation, which is why
+    #   the out-param exists. Without a handle, blocks are still released
+    #   by the ContextCleaner once the plan is GC'd, just not promptly.
     if materialize == "local_checkpoint":
         cand = cand.localCheckpoint(eager=False)
     elif materialize == "checkpoint":
@@ -273,10 +276,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         cand = cand.persist()
     elif materialize != "none":
         raise ValueError(f"unknown materialize strategy {materialize!r}")
-    out = verify_jaccard(cand, docs, text_col, id_col, k, threshold)
-    if materialize == "persist":
-        out._cached_candidates = cand
-    return out
+    if materialize != "none" and cache_handle is not None:
+        cache_handle.append(cand)
+    return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,

@@ -120,6 +120,8 @@ def _ivf_assign_pandas(emb: DataFrame, centroids: np.ndarray,
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch: np.stack([]) raises
+                continue
             V = np.stack([np.asarray(x, dtype=np.float64)
                           for x in pdf[vec_col]])
             S = V @ C

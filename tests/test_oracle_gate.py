@@ -91,7 +91,11 @@ def test_rows_only_queries_run_and_canonicalize(spark, sf_dir):
     for name in set(qs) - set(E.oracle_sql()):
         df = qs[name](spark, sf_dir)
         pdf = _canon(df.toPandas())          # raises on list columns
-        assert len(pdf) >= 0, name
+        # the external driver caps its record at ~50 entries, so entries
+        # parked past the cap lose even their row-count signal there; this
+        # pytest gate keeps that signal alive (ADVICE r3): non-empty result
+        # with a non-empty schema.
+        assert len(pdf) > 0, name
         assert len(df.schema.fields) > 0, name
 
 
