@@ -480,20 +480,9 @@ def q_stratified_sample(spark, sf_dir):
 def q_length_percentiles(spark, sf_dir):
     """Exact discrete per-source n_tok percentiles via sorted collect_list
     — ORACLE-PARITY FORM (exact, engine-identical). At 10^12 rows use
-    percentile_approx (same single-shuffle query shape, mergeable sketch)
-    instead of materializing per-group arrays."""
-    toks = tokens_table(spark, sf_dir)
-    g = toks.groupBy("source").agg(
-        F.sort_array(F.collect_list("n_tok")).alias("arr"),
-        F.count("*").alias("n"))
-
-    def pick(q):
-        idx = (F.floor((F.col("n") - 1) * q) + 1).cast("int")
-        return F.element_at("arr", idx)
-
-    return g.select("source", F.col("n").alias("n_docs"),
-                    pick(0.5).alias("p50"), pick(0.9).alias("p90"),
-                    pick(0.99).alias("p99")).orderBy("source")
+    text.length_percentiles_approx (same output schema, mergeable
+    percentile_approx sketch, no per-group arrays)."""
+    return text.length_percentiles(tokens_table(spark, sf_dir))
 
 
 def q_dedup_components(spark, sf_dir):

@@ -139,3 +139,43 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     whitespace) — the cheap exact-dup / citation key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def length_percentiles(tokens_df: DataFrame, len_col: str = "n_tok",
+                       group_col: str = "source",
+                       qs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """EXACT discrete per-group length percentiles (lower-nearest-rank on
+    the sorted values). Materializes each group's full value list in one
+    aggregation buffer — fine up to ~10^7 rows/group, NOT the 10^12-row
+    path; use :func:`length_percentiles_approx` there. Kept because it is
+    engine-exact (DuckDB-oracle hash parity in the driver gate)."""
+    g = tokens_df.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(len_col)).alias("arr"),
+        F.count("*").alias("n"))
+
+    def pick(q):
+        idx = (F.floor((F.col("n") - 1) * q) + 1).cast("int")
+        return F.element_at("arr", idx)
+
+    cols = [pick(q).alias(f"p{int(q * 100)}") for q in qs]
+    return g.select(group_col, F.col("n").alias("n_docs"), *cols) \
+            .orderBy(group_col)
+
+
+def length_percentiles_approx(tokens_df: DataFrame, len_col: str = "n_tok",
+                              group_col: str = "source",
+                              qs: tuple = (0.5, 0.9, 0.99),
+                              accuracy: int = 10000) -> DataFrame:
+    """The 10^12-row variant of :func:`length_percentiles`: same output
+    schema, but percentile_approx (a mergeable Greenwald-Khanna sketch of
+    bounded size ~O(accuracy), combined map-side) replaces the per-group
+    collect_list — no group's values ever co-reside in one buffer, so a
+    group with 10^11 rows costs the same memory as one with 10^3.
+    Rank error is bounded by n/accuracy per group."""
+    pctl = F.percentile_approx(
+        len_col, F.array(*[F.lit(float(q)) for q in qs]), accuracy)
+    g = tokens_df.groupBy(group_col).agg(
+        pctl.alias("_p"), F.count("*").alias("n_docs"))
+    cols = [F.element_at("_p", i + 1).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)]
+    return g.select(group_col, "n_docs", *cols).orderBy(group_col)

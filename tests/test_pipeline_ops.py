@@ -593,3 +593,52 @@ def test_word_shingles_empty_doc_parity(spark):
              for r in dedup.minhash_lsh_pairs(df, threshold=0.99,
                                               hash_fn="fast").collect()}
     assert ("e1", "e2") in pairs
+
+
+def test_length_percentiles_approx_bounds_exact(spark):
+    """The percentile_approx scale variant must match the exact
+    lower-nearest-rank form within the sketch's rank-error bound
+    (n/accuracy rows of rank ≈ a few adjacent values on this skewed
+    synthetic distribution)."""
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "source": [f"s{i % 4}" for i in range(8000)],
+        "n_tok": (rng.pareto(2.0, 8000) * 200 + 10).astype("int32"),
+    })
+    df = spark.createDataFrame(pdf)
+    exact = {r.source: r for r in
+             text.length_percentiles(df).collect()}
+    approx = {r.source: r for r in
+              text.length_percentiles_approx(df, accuracy=10000).collect()}
+    assert set(exact) == set(approx) == {"s0", "s1", "s2", "s3"}
+    for src, e in exact.items():
+        a = approx[src]
+        assert a.n_docs == e.n_docs
+        for col, rank_q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            # rank-error bound: the approx value's rank within the group's
+            # sorted values must be within n/accuracy + 1 of the exact rank
+            vals = np.sort(pdf.loc[pdf.source == src, "n_tok"].to_numpy())
+            n = len(vals)
+            exact_rank = int(np.floor((n - 1) * rank_q))
+            # the approx VALUE occupies a rank interval [lo, hi) (ties);
+            # it is within sketch error iff that interval comes within
+            # n/accuracy + 1 of the exact rank
+            lo = int(np.searchsorted(vals, a[col], side="left"))
+            hi = int(np.searchsorted(vals, a[col], side="right"))
+            tol = n / 10000 + 1
+            dist = max(lo - exact_rank, exact_rank - (hi - 1), 0)
+            assert dist <= tol, \
+                (src, col, a[col], e[col], lo, hi, exact_rank)
+
+
+def test_length_percentiles_exact_matches_numpy(spark):
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"source": ["x"] * 101,
+                        "n_tok": rng.integers(1, 1000, 101).astype("int32")})
+    got = text.length_percentiles(spark.createDataFrame(pdf)).collect()[0]
+    vals = np.sort(pdf.n_tok.to_numpy())
+    assert got.p50 == vals[int(np.floor(100 * 0.5))]
+    assert got.p90 == vals[int(np.floor(100 * 0.9))]
+    assert got.p99 == vals[int(np.floor(100 * 0.99))]
