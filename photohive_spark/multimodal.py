@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The decode step is STUBBED (no codec libraries in this container): the
-real path raises NotImplementedError behind ``decode=\"real\"``, and the
-default deterministic fake derives a pseudo sample plane from the bytes
-(seeded by a rolling hash of the payload) so the Spark-side plumbing —
-schema, batch shape, partitioning, downstream DSP kernels — is fully real
-and tested. Swap ``_fake_decode`` for PIL/libav and nothing else changes.
+``mode="real"`` REALLY decodes images (PNG, via the pure-stdlib codec in
+png.py — no PIL needed) and audio (PCM WAV, via stdlib ``wave``); video
+remains stubbed (frame extraction genuinely needs libav, absent here) and
+raises NotImplementedError. The default deterministic fake derives a
+pseudo sample plane from the bytes (sha256-seeded) so plumbing tests are
+exact and payload-format-independent.
 
 Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
-(``utils.py:30-46``) — bytes -> normalized float plane -> feature kernels.
+(``utils.py:30-46``) — bytes -> normalized float plane -> feature kernels;
+png.decode_rgb reproduces that contract bit-exactly for PNG inputs.
 """
 
 from __future__ import annotations
@@ -58,9 +59,16 @@ def _fake_decode(payload: bytes, n_samples: int) -> np.ndarray:
 def decode_stub(payload: bytes, kind: str, meta: dict, mode: str = "fake"
                 ) -> np.ndarray:
     if mode == "real":
+        from . import png
+        if kind == "image":
+            # PNG -> BT.601 gray plane in [0,1], flattened — the exact
+            # reference ingest (utils.py:30-46 -> rgb2pgm) sample stream
+            return png.decode_gray_samples(payload)
+        if kind == "audio":
+            return png.decode_wav_samples(payload)
         raise NotImplementedError(
-            "real decode requires PIL/libsndfile/libav — not in this "
-            "container; the deterministic fake exercises the full Spark path")
+            "real video decode requires libav — not in this container; "
+            "use mode='fake' to exercise the Spark plumbing")
     if kind == "image":
         n = int(meta.get("meta_width") or 64) * int(meta.get("meta_height") or 64)
     elif kind == "audio":
@@ -98,13 +106,19 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
             kinds = pdf["kind"].tolist()
             metas = {k: pdf[k].tolist() for k in _META_KEYS}
             xs = []
+            ids = pdf["media_id"].tolist()
             for i, payload in enumerate(pdf["payload"].tolist()):
                 meta = {k: _meta_val(metas[k][i]) for k in _META_KEYS}
                 # null payload (upstream decode failure) must not kill the
-                # task — the deterministic fake of b"" yields a valid row
-                xs.append(decode_stub(
-                    b"" if payload is None else bytes(payload),
-                    kinds[i], meta, mode))
+                # task — the deterministic fake of b"" yields a valid row;
+                # real decode fails loudly but names the offending row
+                try:
+                    xs.append(decode_stub(
+                        b"" if payload is None else bytes(payload),
+                        kinds[i], meta, mode))
+                except Exception as e:
+                    raise type(e)(
+                        f"media_id={ids[i]!r} kind={kinds[i]!r}: {e}") from e
 
             rms_mean = np.zeros(n_rows)
             rms_std = np.zeros(n_rows)

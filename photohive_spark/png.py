@@ -1,0 +1,244 @@
+"""Pure-stdlib PNG codec (zlib + numpy) — the real image-ingest boundary.
+
+The container has no PIL/libav, but PNG's format is fully decodable with
+``zlib`` alone, so ``decode="real"`` does not need to stay a stub for
+images: this module implements a spec-complete decoder for the common
+profile (8-bit, non-interlaced; gray / RGB / palette / gray+alpha / RGBA;
+all five scanline filters) and a matching encoder for tests and sinks.
+
+Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
+(reference ``utils.py:30-46``) — encoded bytes -> per-channel float
+planes in [0,1] -> feature kernels. :func:`decode_rgb` reproduces that
+contract (PIL's RGB conversion of these color types is the same exact
+integer mapping, so outputs are bit-identical to the reference path).
+
+Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers
+(multimodal.py) — per-image cost is the irreducible codec work; nothing
+here touches the driver. Rows-then-lanes unfiltering is vectorized per
+scanline (Sub via per-lane cumsum, Up fully vectorized); only Average /
+Paeth rows — which have a true left-to-right data dependence — fall back
+to a scalar inner loop.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette counts as 1 index sample)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated {typ!r} chunk")
+        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        yield typ, body
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("no IEND chunk")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. raw = concat of (filter_byte + row)
+    per scanline; returns (h, w*bpp) uint8 of reconstructed bytes."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if ft == 0:                                   # None
+            rec = line
+        elif ft == 1:                                 # Sub: per-lane cumsum
+            # recon[x] = filt[x] + recon[x-bpp]; mod distributes over the
+            # running sum, so cumsum-then-mod is exact
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif ft == 2:                                 # Up
+            rec = (line + prev) % 256
+        elif ft == 3:                                 # Average (left-dep)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((a + prev[x]) >> 1)) % 256
+        elif ft == 4:                                 # Paeth (left-dep)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. C is 1 (gray), 2 (gray+alpha),
+    3 (RGB — palette images are expanded), or 4 (RGBA).
+
+    Supported profile: bit depth 8, non-interlaced — the overwhelmingly
+    common case and everything our encoder emits. Other profiles raise
+    ValueError (fail loudly, never garbage pixels)."""
+    ihdr = None
+    palette = None
+    idat = []
+    for typ, body in _chunks(data):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (only 8)")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unknown color type {ctype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension image")
+    bpp = _CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    px = _unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """(H, W) or (H, W, C) uint8 -> PNG bytes. C in {1,2,3,4} maps to
+    gray / gray+alpha / RGB / RGBA. ``filter_type`` applies one scanline
+    filter to every row (0/1/2/3/4) — non-zero values exist mainly so
+    tests can exercise every decoder filter path against a round-trip."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int32)
+    stride = w * c
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            left = np.zeros(stride, dtype=np.int32)
+            left[c:] = cur[:-c]
+            out = (cur - left) % 256
+        elif filter_type == 2:
+            out = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.zeros(stride, dtype=np.int32)
+            left[c:] = cur[:-c]
+            out = (cur - ((left + prev) >> 1)) % 256
+        elif filter_type == 4:
+            left = np.zeros(stride, dtype=np.int32)
+            left[c:] = cur[:-c]
+            pl = np.zeros(stride, dtype=np.int32)
+            pl[c:] = prev[:-c]
+            p = left + prev - pl
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pl)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, pl))
+            out = (cur - pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        lines.append(bytes([filter_type]) + out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \
+        + chunk(b"IEND", b"")
+
+
+def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
+    """PNG bytes -> planar float RGB in [0,1] — the reference's
+    ``pil_image_to_image_rgb`` contract (``utils.py:30-46``): dict of
+    'r'/'g'/'b' (H, W) float64 planes plus 'height'/'width'. Gray expands
+    to equal planes; alpha is dropped (the reference converts to RGB the
+    same way)."""
+    px = decode_png(data)
+    c = px.shape[2]
+    if c == 1:
+        r = g = b = px[:, :, 0]
+    elif c == 2:
+        r = g = b = px[:, :, 0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    scale = 1.0 / 255.0
+    return {"r": r.astype(np.float64) * scale,
+            "g": g.astype(np.float64) * scale,
+            "b": b.astype(np.float64) * scale,
+            "height": px.shape[0], "width": px.shape[1]}
+
+
+def decode_gray_samples(data: bytes) -> np.ndarray:
+    """PNG bytes -> flattened BT.601 luminance plane in [0,1] — the 1-D
+    sample stream the DSP feature kernels consume (same rgb2pgm weights
+    as kernels.rgb2pgm / reference grayscale conversion)."""
+    p = decode_rgb(data)
+    gray = 0.299 * p["r"] + 0.587 * p["g"] + 0.114 * p["b"]
+    return gray.reshape(-1)
+
+
+def decode_wav_samples(data: bytes) -> np.ndarray:
+    """WAV (PCM) bytes -> mono float samples in [0,1] via the stdlib
+    ``wave`` module — the real audio-ingest path. 8/16/32-bit PCM;
+    multi-channel averages to mono; centered so full-scale spans [0,1]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:                       # unsigned 8-bit
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = x / 255.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        x = (x + 32768.0) / 65535.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64)
+        x = (x + 2147483648.0) / 4294967295.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x

@@ -120,9 +120,15 @@ def test_media_features_plumbing(media):
     assert got["m0"].rms_mean == pytest.approx(float(x.mean()), rel=1e-12)
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_real_decode_paths():
+    # image/audio real decode exist (png.py) and fail LOUDLY on garbage
+    with pytest.raises(ValueError):
         multimodal.decode_stub(b"x", "image", {}, mode="real")
+    with pytest.raises(Exception):
+        multimodal.decode_stub(b"x", "audio", {}, mode="real")
+    # video genuinely needs libav — still a documented stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "video", {}, mode="real")
 
 
 def test_media_features_match_per_doc_kernels(media):
