@@ -66,7 +66,20 @@ def _prepare_tokens(spark, sf_dir: str, replicate: int | None = None) -> str:
     # cache key derived from the full dir path — two datasets must never
     # share a cache entry (a bare sf float would collide untagged dirs)
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    path = f"/tmp/photohive_bench/tokens_{tag}_x{replicate}.parquet"
+    base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # FILE SIZING (r4, measured): ~200k rows (~8-10MB) per file once the
+    # table is big; 256-file floor keeps small headline tables at 8 task
+    # waves x 32 cores so wave-quantization stragglers stay <= 1/8 of a
+    # wave. r3 sized files by replicate count instead ((replicate*5)//16),
+    # which at 50M rows produced 3,125 x 790KB files — per-file parquet
+    # reader churn drove jvmGcTime to 696 s/run and uneven multi-file task
+    # packing left a 49-164 s task-runtime spread (90.8-114k rows/s). The
+    # 256 x 9.4MB layout measured 126.1k rows/s, GC 64 s, and a single
+    # perfectly-balanced task wave (387-396 s spread) on the same input.
+    # A 100 TB table in sub-1MB files was never the layout to emulate;
+    # real lakehouse layouts target 100MB-1GB files.
+    nfiles = max(256, (base_rows * replicate) // 200_000)
+    path = f"/tmp/photohive_bench/tokens_{tag}_x{replicate}_f{nfiles}.parquet"
     # _SUCCESS check: an interrupted write must not poison later benches
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         toks = tokens_table(spark, sf_dir)
@@ -77,10 +90,6 @@ def _prepare_tokens(spark, sf_dir: str, replicate: int | None = None) -> str:
             toks = (toks.withColumn("rep", rep)
                     .withColumn("doc_id", F.concat_ws("#", "doc_id", "rep"))
                     .drop("rep"))
-        # many small files stand in for the many-file 100 TB scan layout;
-        # 256 splits = 8 task waves at 32 cores, so wave-quantization
-        # stragglers cost <=1/8 instead of 1/2 of a wave
-        nfiles = max(256, (replicate * 5) // 16)
         toks.repartition(nfiles).write.mode("overwrite").parquet(path)
     return path
 
@@ -112,16 +121,19 @@ def run_flagship(cpus: int, sf_dir: str = SF_DIR) -> dict:
             "rows_per_s": round(rows / wall, 2)}
 
 
-def run_sustained(cpus: int, rows_target: int, sf_dir: str = SF_DIR) -> dict:
+def run_sustained(cpus: int, rows_target: int, sf_dir: str = SF_DIR,
+                  passes: int = 2) -> dict:
     """Large-input sustained throughput: replicate the sf corpus until the
     input reaches ``rows_target`` rows (>= 10M evidences that the 1M-row
     number is not a cache artifact: at 10M the token table is several GB —
     far beyond executor storage memory at 32 threads — so the run is a real
-    multi-wave scan->kernel pipeline, ~40 task waves of 256+ splits).
+    scan->kernel pipeline over out-of-memory-scale input).
 
-    One timed pass (at 200+ s wall, startup noise is amortized; best-of-3
-    would triple an already-long run for <1% signal) after a short warmup
-    on the standard x16 table to warm the JVM scheduler + Python workers.
+    Best-of-``passes`` (default 2) after a short warmup on the standard
+    table: this shared VM's host contention swings single-pass walls up to
+    2x between minutes (measured r4: 83k and 175k rows/s on the SAME input
+    20 min apart), so a single pass is not a credible number — all pass
+    rates are reported alongside the best so the spread is visible.
     """
     spark = _get_spark(cpus)
     spark.range(1).count()
@@ -133,13 +145,17 @@ def run_sustained(cpus: int, rows_target: int, sf_dir: str = SF_DIR) -> dict:
     from photohive_spark.engine import extract_features_df
     rows = spark.read.parquet(path).count()
     df = extract_features_df(spark.read.parquet(path))
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    wall = time.time() - t0
+    walls = []
+    for _ in range(max(1, passes)):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
     spark.stop()
+    wall = min(walls)
     return {"metric": "sustained_feature_vectors_per_sec",
             "value": round(rows / wall, 2), "unit": "rows/sec",
             "rows": rows, "wall_s": round(wall, 3), "cpus": cpus,
+            "pass_rows_per_s": [round(rows / w, 1) for w in walls],
             "replicate": replicate, "sf": _sf_of(sf_dir)}
 
 
@@ -248,6 +264,281 @@ def run_scaling() -> dict:
             "sf": _sf_of(SF_DIR)}
 
 
+def run_skew(probes_n: int = 10_000_000, hot_frac: float = 0.3,
+             n_cold_keys: int = 997, snaps_per_key: int = 100,
+             salt_buckets: int = 32) -> dict:
+    """Salted vs plain as-of join on a HOT-KEY distribution: one key holds
+    ``hot_frac`` of all probes (the long-tail-user regime the north_rule's
+    'salted partitions' clause targets). Plain asof's window pins the hot
+    key to ONE task; the salted variant spreads it over ``salt_buckets``
+    sub-partitions at the cost of replicating that key's (bounded)
+    snapshots. AQE cannot fix this: skew-join splitting applies to
+    sort-merge joins, not window partitions."""
+    import pyspark.sql.functions as F
+    from photohive_spark import pit
+
+    spark = _get_spark(CPUS)
+    spark.range(1).count()
+    key_expr = (F.when(F.col("id") % 1000 < int(hot_frac * 1000), F.lit("hot"))
+                .otherwise(F.concat(F.lit("k"),
+                                    F.pmod(F.xxhash64("id"), F.lit(n_cold_keys))
+                                    .cast("string"))))
+    probes = (spark.range(probes_n)
+              .select(F.col("id").alias("probe_id"),
+                      key_expr.alias("user_id"),
+                      (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))
+                       .cast("double")).alias("probe_ts")))
+    snaps = (spark.range((n_cold_keys + 1) * snaps_per_key)
+             .select(
+                 F.when(F.col("id") % (n_cold_keys + 1) == 0, F.lit("hot"))
+                 .otherwise(F.concat(
+                     F.lit("k"), (F.col("id") % (n_cold_keys + 1) - 1)
+                     .cast("string"))).alias("user_id"),
+                 (F.pmod(F.xxhash64("id", F.lit(13)), F.lit(1_000_000))
+                  .cast("double")).alias("snap_ts"),
+                 F.rand(7).alias("feature")))
+    probes = probes.localCheckpoint()        # freeze inputs out of the timing
+    snaps = snaps.localCheckpoint()
+
+    def timed(df):
+        df.write.format("noop").mode("overwrite").save()     # warm
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            wall = min(wall, time.time() - t0)
+        return round(wall, 3)
+
+    plain = timed(pit.asof_join(probes, snaps, "user_id", "probe_ts",
+                                "snap_ts", ["feature"]))
+    salted = timed(pit.asof_join_salted(probes, snaps, "user_id", "probe_ts",
+                                        "snap_ts", ["feature"],
+                                        salt_buckets=salt_buckets))
+    return {"metric": "skewed_asof_salted_speedup",
+            "value": round(plain / salted, 3), "unit": "ratio",
+            "plain_wall_s": plain, "salted_wall_s": salted,
+            "probes": probes_n, "hot_frac": hot_frac,
+            "salt_buckets": salt_buckets, "cpus": CPUS,
+            "probes_per_s_salted": round(probes_n / salted, 1)}
+
+
+def run_ann_recall(n_copies: int = 100, k: int = 10, n_queries: int = 20
+                   ) -> dict:
+    """Recall/scan-fraction sweep for the materialized ANN indexes, across
+    three neighbor-hardness regimes (jitter of the replicated corpus):
+    angular-close (0.5% multiplicative, cos~0.99999), moderate (additive
+    0.05, cos~0.93) and hard (additive 0.15, cos~0.64). Ground truth =
+    exact cosine top-k per query, computed driver-side in numpy (the
+    corpus is collected ONCE per regime — this is the oracle, not the
+    engine). Sweeps n_planes in {6,8,10} for LSH and n_probe in {1,2,3}
+    for IVF (one IVF build per regime; n_probe is query-time)."""
+    import shutil
+
+    import numpy as np
+    import pyspark.sql.functions as F
+    from photohive_spark import similarity as S
+
+    spark = _get_spark(CPUS)
+    spark.range(1).count()
+    base = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+    queries = [(int(r.vec_id), list(r.embedding))
+               for r in base.orderBy("vec_id").limit(n_queries).collect()]
+    dim = len(queries[0][1])
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1)))
+    out: dict = {"regimes": {}, "corpus_rows": None, "dim": dim,
+                 "metric": "ann_recall_at_default", "unit": "recall@10",
+                 "value": None, "k": k, "n_queries": n_queries}
+
+    for regime, jitter in [("mult_0.005", ("mult", 0.005)),
+                           ("add_0.05", ("add", 0.05)),
+                           ("add_0.15", ("add", 0.15))]:
+        kind, scale = jitter
+
+        # deterministic per-(vec,copy,component) Gaussian jitter: Box-Muller
+        # on two xxhash64-derived uniforms inside a transform(x, i) lambda —
+        # no RNG state, so the corpus is reproducible across runs
+        def jittered(vec_col):
+            def f(xv, i):
+                uu1 = (F.pmod(F.xxhash64(F.col("rep"), F.col("base_id"), i,
+                                         F.lit(1)), F.lit(1_000_000)) + 1) \
+                    / 1_000_001.0
+                uu2 = (F.pmod(F.xxhash64(F.col("rep"), F.col("base_id"), i,
+                                         F.lit(2)), F.lit(1_000_000)) + 1) \
+                    / 1_000_001.0
+                g = F.sqrt(-2.0 * F.log(uu1)) \
+                    * F.cos(F.lit(2.0 * 3.141592653589793) * uu2)
+                return xv * (1.0 + scale * g) if kind == "mult" \
+                    else xv + scale * g
+            return F.transform(vec_col, f)
+
+        corpus = (base.select(F.col("vec_id").alias("base_id"), "embedding")
+                  .withColumn("rep", rep)
+                  .select((F.col("base_id") * n_copies + F.col("rep"))
+                          .alias("vec_id"), "base_id", "rep",
+                          jittered(F.col("embedding")).alias("embedding"))
+                  .drop("base_id", "rep")
+                  .localCheckpoint())
+        n_corpus = corpus.count()
+        out["corpus_rows"] = n_corpus
+
+        # driver-side exact ground truth (oracle)
+        rows = corpus.collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        truth = {}
+        for qid, qv in queries:
+            q = np.asarray(qv)
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            sims = Vn @ qn
+            # top-k by (cosine desc, id asc) — matches engine tiebreak
+            order = np.lexsort((ids, -np.round(sims, 6)))
+            truth[qid] = set(ids[order[:k]].tolist())
+
+        reg: dict = {"lsh": {}, "ivf": {}}
+        total_bytes = None
+        for n_planes in (6, 8, 10):
+            path = f"/tmp/photohive_bench/ann_{regime}_p{n_planes}"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            S.write_lsh_index(corpus, path, dim=dim, n_planes=n_planes)
+            build_s = time.time() - t0
+            total_bytes = sum(f.stat().st_size
+                              for f in __import__("pathlib").Path(path)
+                              .rglob("*.parquet"))
+            recalls, scans, walls = [], [], []
+            for qid, qv in queries:
+                planes = S.hyperplanes(dim, n_planes)
+                qsig = S.query_signature(planes, qv)
+                bdir = __import__("pathlib").Path(path) / f"bucket={qsig}"
+                scanned = sum(f.stat().st_size for f in
+                              bdir.rglob("*.parquet")) if bdir.exists() else 0
+                t0 = time.time()
+                got = {r.vec_id for r in
+                       S.lsh_topk_indexed(spark, path, qv, k=k,
+                                          n_planes=n_planes).collect()}
+                walls.append(time.time() - t0)
+                recalls.append(len(got & truth[qid]) / k)
+                scans.append(scanned / max(total_bytes, 1))
+            reg["lsh"][f"planes_{n_planes}"] = {
+                "recall": round(float(np.mean(recalls)), 3),
+                "scan_frac": round(float(np.mean(scans)), 4),
+                "query_ms": round(float(np.median(walls)) * 1e3, 1),
+                "build_s": round(build_s, 1)}
+
+        cents = S.ivf_centroids_from_sample(corpus, n_cells=64,
+                                            sample_rows=4096)
+        ivf_path = f"/tmp/photohive_bench/ann_{regime}_ivf"
+        shutil.rmtree(ivf_path, ignore_errors=True)
+        t0 = time.time()
+        S.write_ivf_index(corpus, ivf_path, cents)
+        ivf_build = time.time() - t0
+        ivf_bytes = sum(f.stat().st_size
+                        for f in __import__("pathlib").Path(ivf_path)
+                        .rglob("*.parquet"))
+        for n_probe in (1, 2, 3):
+            recalls, scans, walls = [], [], []
+            for qid, qv in queries:
+                cells = S.probe_cells(cents, qv, n_probe)
+                scanned = 0
+                for c in cells:
+                    cdir = __import__("pathlib").Path(ivf_path) \
+                        / f"ivf_cell={c}"
+                    if cdir.exists():
+                        scanned += sum(f.stat().st_size
+                                       for f in cdir.rglob("*.parquet"))
+                t0 = time.time()
+                got = {r.vec_id for r in
+                       S.ivf_topk_indexed(spark, ivf_path, cents, qv, k=k,
+                                          n_probe=n_probe).collect()}
+                walls.append(time.time() - t0)
+                recalls.append(len(got & truth[qid]) / k)
+                scans.append(scanned / max(ivf_bytes, 1))
+            reg["ivf"][f"probe_{n_probe}"] = {
+                "recall": round(float(np.mean(recalls)), 3),
+                "scan_frac": round(float(np.mean(scans)), 4),
+                "query_ms": round(float(np.median(walls)) * 1e3, 1),
+                "build_s": round(ivf_build, 1)}
+        out["regimes"][regime] = reg
+
+    # headline value: recall at the robust default operating point (IVF,
+    # n_probe=2) on the MODERATE regime — the honest single number for
+    # "what does the scale path recall on a corpus that isn't easy".
+    # (Single-table LSH is the easy-regime specialist; its collapse on
+    # angular-far corpora is recorded per-regime above.)
+    out["value"] = out["regimes"]["add_0.05"]["ivf"]["probe_2"]["recall"]
+    spark.stop()
+    return out
+
+
+def run_streaming(rows: int = 2_000_000, n_files: int = 16,
+                  files_per_trigger: int = 2) -> dict:
+    """Structured Streaming throughput: exact dedup (dropDuplicates state)
+    and stateful gap sessionization (applyInPandasWithState), driven
+    availableNow over a prepared file backlog — rows/s end-to-end plus
+    per-microbatch duration from the progress log."""
+    import pyspark.sql.functions as F
+    from photohive_spark import streaming as ST
+
+    spark = _get_spark(CPUS)
+    spark.range(1).count()
+
+    docs_path = f"/tmp/photohive_bench/stream_docs_{rows}"
+    ev_path = f"/tmp/photohive_bench/stream_events_{rows}"
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        (spark.range(rows)
+         .select(F.col("id").cast("string").alias("doc_id"),
+                 F.concat(F.lit("document body nr "),
+                          (F.col("id") % (rows // 2)).cast("string"))
+                 .alias("text"),
+                 F.timestamp_seconds(1_700_000_000 + F.col("id") % 86_400)
+                 .alias("event_ts"))
+         .repartition(n_files).write.mode("overwrite").parquet(docs_path))
+    if not os.path.exists(os.path.join(ev_path, "_SUCCESS")):
+        (spark.range(rows)
+         .select(F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("user_id"),
+                 F.timestamp_seconds(1_700_000_000 + (F.col("id") % 100_000)
+                                     * 60).alias("ts"))
+         .repartition(n_files).write.mode("overwrite").parquet(ev_path))
+
+    def drive(stream_df, name):
+        q = (stream_df.writeStream.format("noop")
+             .option("checkpointLocation",
+                     f"/tmp/photohive_bench/ckpt_{name}_{time.time_ns()}")
+             .trigger(availableNow=True).start())
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        prog = [json.loads(p) if isinstance(p, str)
+                else (p if isinstance(p, dict) else json.loads(p.json))
+                for p in q.recentProgress]
+        batch_ms = [p["durationMs"]["triggerExecution"] for p in prog
+                    if p.get("numInputRows", 0) > 0]
+        n_in = sum(p.get("numInputRows", 0) for p in prog)
+        return {"wall_s": round(wall, 2),
+                "rows_per_s": round(n_in / wall, 1), "input_rows": n_in,
+                "n_batches": len(batch_ms),
+                "batch_ms_median": (sorted(batch_ms)[len(batch_ms) // 2]
+                                    if batch_ms else None)}
+
+    docs = (spark.readStream
+            .schema("doc_id string, text string, event_ts timestamp")
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(docs_path))
+    dd = drive(ST.dedup_stream(docs, watermark_col="event_ts"), "dedup")
+
+    events = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(ev_path))
+    sess = drive(ST.sessionize_stream(events, gap_seconds=1800), "sessionize")
+    spark.stop()
+    return {"metric": "streaming_dedup_rows_per_s", "value": dd["rows_per_s"],
+            "unit": "rows/sec", "dedup_stream": dd,
+            "sessionize_stream": sess, "rows": rows, "cpus": CPUS}
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
         print(json.dumps(run_flagship(int(sys.argv[2]))))
@@ -258,5 +549,12 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--sustained":
         rows_target = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(run_sustained(CPUS, rows_target)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(run_skew(n)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-recall":
+        print(json.dumps(run_ann_recall()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        print(json.dumps(run_streaming()))
     else:
         print(json.dumps(run_headline()))

@@ -95,7 +95,18 @@ def asof_join_salted(probes: DataFrame, snapshots: DataFrame, key: str,
     partitioning — per-partition lineage counts are reproducible, unlike an
     id-based salt. Fully-duplicate probe rows share a salt (the price of
     determinism); if an input can contain millions of byte-identical
-    probes, give them an id column upstream."""
+    probes, give them an id column upstream.
+
+    WHEN TO SALT (measured, BENCH/BASELINE.md round 4): salt when any
+    single key holds more than ~1/n_cores of the probe volume — the plain
+    window then pins that key to one task and the job runs at straggler
+    speed (measured 4.7x win at 30% hot-key share, 10M probes, 32 cores:
+    9.68 s plain vs 2.06 s salted). Below that threshold prefer plain
+    :func:`asof_join`: salting costs a wider union and snapshot
+    replication (x salt_buckets) for no straggler to remove. AQE does NOT
+    substitute — its skew splitting applies to sort-merge joins, not
+    window partitions. Size ``salt_buckets`` ~ n_cores for one hot key;
+    hot_share * n_probes / salt_buckets should be ~ an average task."""
     from .skew import deterministic_salt
     salted_probes = probes.withColumn(
         "_salt", deterministic_salt(salt_buckets, *probes.columns)

@@ -146,7 +146,15 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800,
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        # the natural timeout is last+gap, but a group whose open session
+        # trails the (other-group-driven) watermark — e.g. a batch of
+        # merged stragglers that leaves ``last`` unchanged — would set a
+        # timestamp Spark rejects as earlier than the watermark. Clamp to
+        # watermark+1: the session is already expired, so the earliest
+        # permissible firing (next microbatch) is the correct semantics.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last // 1000 + gap_seconds * 1000, wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 

@@ -322,3 +322,44 @@ def test_dedup_stream_watermark_bounded(spark, tmp_path):
                                watermark="10 minutes"), "dedup_wm")
     got = sorted(r.doc_id for r in spark.sql("select * from dedup_wm").collect())
     assert got == ["x1", "y1"]
+
+
+def test_sessionize_stream_group_far_behind_watermark(spark, tmp_path):
+    """applyInPandasWithState does NOT auto-drop late rows (that is only
+    automatic for aggregations), so a user's events can arrive DAYS behind
+    a watermark advanced by other users — found by bench.py --streaming at
+    2M rows. The natural timeout last+gap is then before the watermark and
+    Spark rejects it; sessionize_stream must clamp to watermark+1 (the
+    session is already expired — fire next microbatch), not crash."""
+    import os
+    import time as _t
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, s):
+        return (u, t0 + dt.timedelta(seconds=s))
+
+    src = str(tmp_path / "behind_stream")
+    # batch 1: user 1 opens a session at 1000s; user 9 pushes the max
+    # event time to 50000s, so the watermark after batch 1 is ~46400s
+    # batch 2: user 1 gets an event at 1200s — far behind that watermark,
+    # beyond the 100s gap (old session emitted, new one opened at 1200,
+    # whose natural timeout 1300s < watermark -> crash without the clamp)
+    batches = [[ev(1, 1000), ev(9, 50_000)], [ev(1, 1200)],
+               [ev(9, 999_999)]]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "user_id long, ts timestamp") \
+             .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.05)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streaming.run_to_memory(
+        streaming.sessionize_stream(stream, gap_seconds=100), "behind_sess")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("select * from behind_sess").collect()}
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    assert (1, s(1000), s(1000), 1) in got, got
+    # the clamped timeout fires on the next batch -> the 1200s session
+    # is emitted too (not stuck in state forever)
+    assert (1, s(1200), s(1200), 1) in got, got
