@@ -691,6 +691,40 @@ def q_media_features(spark, sf_dir):
         _digest("spectrum_bands").alias("spectrum_digest"))
 
 
+def q_image_report(spark, sf_dir):
+    """The reference's primary use case end-to-end on REAL images: 24
+    deterministic PNGs (seeded noise+gradient, encoded by the pure-stdlib
+    codec) -> decode -> full 2-D report (histogram entropy, palette, polar
+    blur profile peaks, Laplacian sharpness — interface.c:28-93 stage
+    order). Rows-only: the 2-D pipeline has no SQL form; parity is pinned
+    by tests/test_png.py golden/local-kernel tests."""
+    import numpy as np
+
+    from photohive_spark import multimodal, png
+
+    rows = []
+    for i in range(24):
+        rng = np.random.default_rng(1000 + i)
+        hh, ww = 16 + (i % 4) * 8, 24
+        grad = (np.arange(ww) * (3 + i)).astype(np.int64) % 256
+        img = ((rng.integers(0, 256, (hh, ww, 3)) + grad[None, :, None])
+               % 256).astype(np.uint8)
+        rows.append((f"img{i:02d}", "image", png.encode_png(img),
+                     ww, hh, None, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.image_report(media, mode="real")
+    return out.select(
+        "media_id", "height", "width",
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("rms_std", 6).alias("rms_std"),
+        F.round("mean_norm_value", 6).alias("mean_norm_value"),
+        F.round("hist_entropy", 6).alias("hist_entropy"),
+        F.round("sharpness_avg", 6).alias("sharpness_avg"),
+        F.round("sharpness_var", 6).alias("sharpness_var"),
+        _digest("palette").alias("palette_digest"),
+        _digest("spectral_peaks").alias("peaks_digest"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most the first ~50 entries
     # (round 2 registered 52 and exactly the first 50 got CORRECTNESS rows,
@@ -766,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parking them here loses no verification signal.
         "extract_features_digest": q_extract_features_digest,
         "media_features": q_media_features,
+        "image_report": q_image_report,
     }
 
 

@@ -522,6 +522,19 @@ def blur_profile_2d(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
     w = min(n, cfg.frame_width)
     hh = n // w
     plane = x[: hh * w].reshape(hh, w)
+    return blur_profile_plane(plane, cfg, dc_bias=dc_bias)
+
+
+def blur_profile_plane(plane: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
+                       dc_bias: float | None = None) -> np.ndarray:
+    """The same binned polar power profile over an ACTUAL 2-D plane (a
+    decoded image's gray plane — the reference's native input,
+    ``src/blur_profile.c:34-126``), no 1-D framing. ``blur_profile_2d``
+    is the framed-sequence recast of this."""
+    plane = np.asarray(plane, dtype=np.float64)
+    na, nr = cfg.angle_parts, cfg.radius_parts
+    if plane.size < 2 or plane.ndim != 2 or min(plane.shape) < 1:
+        return np.zeros((na, nr))
     bias = plane.mean() if dc_bias is None else dc_bias
     plane = plane - bias
     p = np.abs(np.fft.rfft2(plane)) ** 2  # (hh, w//2+1) — FFTW r2c layout
@@ -751,6 +764,61 @@ def sharpness_avg(x: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
     if sel.size == 0:
         return 0.0
     return float(sel.mean())
+
+
+LAPLACIAN_3X3 = np.array([[-1.0, -1.0, -1.0],
+                          [-1.0,  8.0, -1.0],
+                          [-1.0, -1.0, -1.0]])   # initialize_3x3_laplacian,
+                                                 # src/filtering.c:40-50
+
+
+def filter_plane_zeropad(plane: np.ndarray, kern: np.ndarray) -> np.ndarray:
+    """Zero-padded same-size 2-D convolution (``filter_image``,
+    ``src/filtering.c:75-110`` semantics: out-of-frame taps contribute 0).
+    Implemented as a sum of shifted views — for a 3x3 kernel this is 9
+    vectorized adds, far cheaper than generic correlate at these sizes."""
+    plane = np.asarray(plane, dtype=np.float64)
+    kh, kw = kern.shape
+    yo, xo = kh // 2, kw // 2
+    h, w = plane.shape
+    padded = np.zeros((h + kh - 1, w + kw - 1))
+    padded[yo:yo + h, xo:xo + w] = plane
+    out = np.zeros((h, w))
+    for dy in range(kh):
+        for dx in range(kw):
+            c = kern[dy, dx]
+            if c != 0.0:
+                out += c * padded[dy:dy + h, dx:dx + w]
+    return out
+
+
+def sharpness_plane_avg(plane: np.ndarray,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+    """2-D form of :func:`sharpness_avg` on a real image plane: conditional
+    mean of 3x3-Laplacian-filtered values above the threshold
+    (``sharpness_avg``, ``src/filtering.c:58-71``)."""
+    plane = np.asarray(plane, dtype=np.float64)
+    if plane.size == 0:
+        return 0.0
+    filt = filter_plane_zeropad(plane, LAPLACIAN_3X3)
+    sel = filt[filt > cfg.sharpness_threshold]
+    if sel.size == 0:
+        return 0.0
+    return float(sel.mean())
+
+
+def sharpness_plane_var(plane: np.ndarray) -> float:
+    """2-D form of :func:`sharpness_of`: variance/mean of the
+    3x3-Laplacian-filtered plane (``get_variance_sharpness``,
+    ``src/filtering.c:151-183``); 0.0 on zero mean."""
+    plane = np.asarray(plane, dtype=np.float64)
+    if plane.size == 0:
+        return 0.0
+    filt = filter_plane_zeropad(plane, LAPLACIAN_3X3)
+    avg = filt.mean()
+    if avg == 0.0:
+        return 0.0
+    return float(np.var(filt) / avg)
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,98 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
 
     cols = [f.name for f in MEDIA_SCHEMA.fields]
     return media.select(*cols).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+IMAGE_REPORT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("rms_mean", T.DoubleType()),
+    T.StructField("rms_std", T.DoubleType()),
+    T.StructField("mean_norm_value", T.DoubleType()),
+    T.StructField("hist_entropy", T.DoubleType()),
+    T.StructField("palette", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    T.StructField("spectral_peaks", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    T.StructField("sharpness_avg", T.DoubleType()),
+    T.StructField("sharpness_var", T.DoubleType()),
+])
+
+
+def _image_planes(payload, meta, mode: str):
+    """bytes -> (r, g, b) float planes in [0,1]. Real mode decodes PNG via
+    png.decode_rgb (the reference ingest, utils.py:30-46); fake mode
+    reshapes the deterministic pseudo-decode into a meta-sized plane so
+    the full 2-D pipeline is drivable without codecs."""
+    if mode == "real":
+        from . import png
+        p = png.decode_rgb(payload)
+        return p["r"], p["g"], p["b"]
+    w = int(meta.get("meta_width") or 64)
+    h = int(meta.get("meta_height") or 64)
+    x = _fake_decode(payload, max(4, w * h))[: h * w].reshape(h, w)
+    return x, x, x
+
+
+def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                 mode: str = "real") -> DataFrame:
+    """The reference's PRIMARY use case as a Spark operator: image ->
+    full report (``get_full_report_data``, ``src/interface.c:28-93``) on
+    REAL 2-D planes — color statistics, histogram entropy, palette,
+    polar blur profile -> spectral peaks, 3x3-Laplacian sharpness —
+    distributed over an opaque-binary media column.
+
+    Stage order mirrors the reference: downsample feeds ONLY the
+    HSV/histogram/palette path (``src/interface.c:39-50``); RMS stats and
+    the FFT run on the full-resolution gray plane with DC bias = the
+    stats mean (``src/interface.c:78-79``). Per-image cost is dominated
+    by the rfft2 — inherently per-row work (images vary in size), Arrow-
+    batched at the boundary like media_features; no shuffle anywhere."""
+    from . import kernels as K
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in IMAGE_REPORT_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            metas = {k: pdf[k].tolist() for k in _META_KEYS}
+            ids = pdf["media_id"].tolist()
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                meta = {k: _meta_val(metas[k][i]) for k in _META_KEYS}
+                try:
+                    r, g, b = _image_planes(
+                        b"" if payload is None else bytes(payload),
+                        meta, mode)
+                except Exception as e:
+                    raise type(e)(f"media_id={ids[i]!r}: {e}") from e
+                gray = K.rgb2pgm(r, g, b)
+                rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
+                rate = cfg.downsample_rate
+                h, s, v = K.rgb2hsv(r.reshape(-1)[::rate],
+                                    g.reshape(-1)[::rate],
+                                    b.reshape(-1)[::rate])
+                gi = (K.hist_bin_ids(h, s, v, cfg) if h.size
+                      else np.array([], dtype=np.int64))
+                counts = np.bincount(gi, minlength=cfg.hist_cells) \
+                    .astype(np.int64)
+                pal = K.palette(h, s, v, cfg, g=gi, counts=counts)
+                prof = K.blur_profile_plane(gray, cfg, dc_bias=rms_mean)
+                peaks = K.spectral_peaks(prof, cfg)
+                out.append({
+                    "media_id": ids[i],
+                    "height": int(gray.shape[0]),
+                    "width": int(gray.shape[1]),
+                    "rms_mean": rms_mean,
+                    "rms_std": rms_std,
+                    "mean_norm_value": float(s.mean()) if s.size else 0.0,
+                    "hist_entropy": K.entropy(counts),
+                    "palette": [[float(c) for c in row] for row in pal],
+                    "spectral_peaks": [[float(a), float(m)]
+                                       for a, m in peaks],
+                    "sharpness_avg": K.sharpness_plane_avg(gray, cfg),
+                    "sharpness_var": K.sharpness_plane_var(gray),
+                })
+            yield pd.DataFrame(out, columns=names)
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    return media.select(*cols).mapInPandas(run, IMAGE_REPORT_SCHEMA)

@@ -161,3 +161,118 @@ def test_media_features_real_decode_names_bad_row(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="broken"):
         multimodal.media_features(media, mode="real").collect()
+
+
+def _local_image_report(r, g, b, cfg=None):
+    from photohive_spark import kernels as K
+    from photohive_spark.config import DEFAULT_CONFIG
+    cfg = cfg or DEFAULT_CONFIG
+    gray = K.rgb2pgm(r, g, b)
+    rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
+    rate = cfg.downsample_rate
+    h, s, v = K.rgb2hsv(r.reshape(-1)[::rate], g.reshape(-1)[::rate],
+                        b.reshape(-1)[::rate])
+    gi = K.hist_bin_ids(h, s, v, cfg)
+    counts = np.bincount(gi, minlength=cfg.hist_cells).astype(np.int64)
+    return {
+        "rms_mean": rms_mean, "rms_std": rms_std,
+        "mean_norm_value": float(s.mean()),
+        "hist_entropy": K.entropy(counts),
+        "palette": K.palette(h, s, v, cfg, g=gi, counts=counts),
+        "peaks": K.spectral_peaks(
+            K.blur_profile_plane(gray, cfg, dc_bias=rms_mean), cfg),
+        "sharpness_avg": K.sharpness_plane_avg(gray, cfg),
+        "sharpness_var": K.sharpness_plane_var(gray),
+    }
+
+
+def test_image_report_real_matches_local_kernels(spark):
+    """Spark image_report(mode='real') on real PNG payloads row-for-row
+    equals the same 2-D kernel composition run locally on the decoded
+    planes — the reference's get_full_report_data stage order
+    (interface.c:28-93) at the real ingest boundary."""
+    rng = np.random.default_rng(7)
+    imgs = {f"im{i}": rng.integers(0, 256, (20 + 4 * i, 24, 3),
+                                   dtype=np.uint8) for i in range(3)}
+    rows = [(mid, "image", png.encode_png(a, filter_type=2),
+             a.shape[1], a.shape[0], None, None) for mid, a in imgs.items()]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           multimodal.image_report(media, mode="real").collect()}
+    for mid, a in imgs.items():
+        p = png.decode_rgb(png.encode_png(a))
+        want = _local_image_report(p["r"], p["g"], p["b"])
+        gr = got[mid]
+        assert (gr.height, gr.width) == a.shape[:2]
+        assert gr.rms_mean == pytest.approx(want["rms_mean"], rel=1e-12)
+        assert gr.rms_std == pytest.approx(want["rms_std"], rel=1e-12)
+        assert gr.mean_norm_value == pytest.approx(
+            want["mean_norm_value"], rel=1e-12)
+        assert gr.hist_entropy == pytest.approx(
+            want["hist_entropy"], rel=1e-12)
+        assert gr.sharpness_avg == pytest.approx(
+            want["sharpness_avg"], rel=1e-12)
+        assert gr.sharpness_var == pytest.approx(
+            want["sharpness_var"], rel=1e-12)
+        np.testing.assert_allclose(
+            np.array(gr.palette), np.array(want["palette"]), rtol=1e-12)
+        assert [(int(a_), m_) for a_, m_ in
+                np.array(gr.spectral_peaks).reshape(-1, 2)] == \
+            [(int(a_), pytest.approx(m_, rel=1e-9))
+             for a_, m_ in want["peaks"]]
+
+
+def test_image_report_semantics(spark):
+    """Flat color -> zero entropy + single 100% palette entry; blurring an
+    image must reduce Laplacian sharpness."""
+    from photohive_spark import kernels as K
+
+    flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    # box-blur the noisy image with our own 2-D conv (3x3 ones / 9)
+    blurred = np.stack([
+        np.clip(K.filter_plane_zeropad(noisy[:, :, c].astype(float),
+                                       np.ones((3, 3)) / 9.0), 0, 255)
+        for c in range(3)], axis=2).astype(np.uint8)
+    rows = [("flat", "image", png.encode_png(flat), 16, 16, None, None),
+            ("noisy", "image", png.encode_png(noisy), 32, 32, None, None),
+            ("blurred", "image", png.encode_png(blurred), 32, 32, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           multimodal.image_report(media, mode="real").collect()}
+    assert got["flat"].hist_entropy == pytest.approx(0.0)
+    assert len(got["flat"].palette) == 1
+    assert got["flat"].palette[0][3] == pytest.approx(1.0)  # pct fraction
+    assert got["blurred"].sharpness_avg < got["noisy"].sharpness_avg
+    # NOTE: flat sharpness is NOT 0 — the reference's filter_image zero-pads,
+    # so a constant image still has Laplacian response along the border
+    # (corner: 8c - 3c = 5c); the interior is exactly 0
+    lap = np.array([[-1., -1., -1.], [-1., 8., -1.], [-1., -1., -1.]])
+    interior = K.filter_plane_zeropad(
+        np.full((16, 16), 200 / 255 * 0.299 + 200 / 255 * 0.587
+                + 200 / 255 * 0.114), lap)[2:-2, 2:-2]
+    np.testing.assert_allclose(interior, 0.0, atol=1e-12)
+
+
+def test_image_report_fake_mode(spark):
+    media = spark.createDataFrame(
+        [("f0", "image", b"\x01\x02", 12, 8, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    got = multimodal.image_report(media, mode="fake").collect()[0]
+    assert (got.height, got.width) == (8, 12)
+    assert 0.0 <= got.rms_mean <= 1.0
+
+
+def test_blur_profile_plane_consistent_with_framed():
+    """blur_profile_2d (framed 1-D recast) must equal blur_profile_plane
+    on the plane it frames."""
+    from photohive_spark import kernels as K
+    from photohive_spark.config import DEFAULT_CONFIG as CFG
+    rng = np.random.default_rng(5)
+    x = rng.random(CFG.frame_width * 7 + 3)
+    w = CFG.frame_width
+    plane = x[: (x.size // w) * w].reshape(-1, w)
+    np.testing.assert_allclose(
+        K.blur_profile_2d(x, CFG, dc_bias=0.25),
+        K.blur_profile_plane(plane, CFG, dc_bias=0.25), rtol=1e-12)
