@@ -117,7 +117,10 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         b"" if payload is None else bytes(payload),
                         kinds[i], meta, mode))
                 except Exception as e:
-                    raise type(e)(
+                    # RuntimeError, not type(e): exception classes with
+                    # non-string constructors (UnicodeDecodeError etc.)
+                    # would crash the wrapper itself
+                    raise RuntimeError(
                         f"media_id={ids[i]!r} kind={kinds[i]!r}: {e}") from e
 
             rms_mean = np.zeros(n_rows)
@@ -207,7 +210,7 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         b"" if payload is None else bytes(payload),
                         meta, mode)
                 except Exception as e:
-                    raise type(e)(f"media_id={ids[i]!r}: {e}") from e
+                    raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 gray = K.rgb2pgm(r, g, b)
                 rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
                 rate = cfg.downsample_rate

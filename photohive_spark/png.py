@@ -210,11 +210,13 @@ def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
 
 def decode_gray_samples(data: bytes) -> np.ndarray:
     """PNG bytes -> flattened BT.601 luminance plane in [0,1] — the 1-D
-    sample stream the DSP feature kernels consume (same rgb2pgm weights
-    as kernels.rgb2pgm / reference grayscale conversion)."""
+    sample stream the DSP feature kernels consume. Delegates to
+    kernels.rgb2pgm (the canonical reference-parity projection) so the
+    1-D media path and the 2-D image_report path can never drift."""
+    from .kernels import rgb2pgm
+
     p = decode_rgb(data)
-    gray = 0.299 * p["r"] + 0.587 * p["g"] + 0.114 * p["b"]
-    return gray.reshape(-1)
+    return rgb2pgm(p["r"], p["g"], p["b"]).reshape(-1)
 
 
 def decode_wav_samples(data: bytes) -> np.ndarray:

@@ -157,7 +157,7 @@ def length_percentiles(tokens_df: DataFrame, len_col: str = "n_tok",
         idx = (F.floor((F.col("n") - 1) * q) + 1).cast("int")
         return F.element_at("arr", idx)
 
-    cols = [pick(q).alias(f"p{int(q * 100)}") for q in qs]
+    cols = [pick(q).alias(f"p{round(q * 100)}") for q in qs]
     return g.select(group_col, F.col("n").alias("n_docs"), *cols) \
             .orderBy(group_col)
 
@@ -176,6 +176,6 @@ def length_percentiles_approx(tokens_df: DataFrame, len_col: str = "n_tok",
         len_col, F.array(*[F.lit(float(q)) for q in qs]), accuracy)
     g = tokens_df.groupBy(group_col).agg(
         pctl.alias("_p"), F.count("*").alias("n_docs"))
-    cols = [F.element_at("_p", i + 1).alias(f"p{int(q * 100)}")
+    cols = [F.element_at("_p", i + 1).alias(f"p{round(q * 100)}")
             for i, q in enumerate(qs)]
     return g.select(group_col, "n_docs", *cols).orderBy(group_col)
