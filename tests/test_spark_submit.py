@@ -140,3 +140,46 @@ def test_spark_submit_run_dedup_and_resume(tmp_path, spark, sf_dir):
     # the expensive LSH+verify stage was skipped too (pairs checkpoint)
     assert stat2["pairs_reused"] is True
     assert stat2["near_dup_pairs"] == stat["near_dup_pairs"]
+
+
+def test_spark_submit_run_image_reports_and_resume(tmp_path, spark):
+    """The image-report backfill job: real PNG payloads -> full 2-D
+    reports, resumable bucketed write."""
+    import numpy as np
+
+    from photohive_spark import multimodal, png
+
+    rows = []
+    for i in range(12):
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        rows.append((f"m{i:02d}", "image", bytearray(png.encode_png(img)),
+                     16, 12, None, None))
+    media_path = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA) \
+         .write.parquet(media_path)
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "reports")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_image_reports.py"),
+           "--media", media_path, "--output", out, "--n-buckets", "3"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads([l for l in r.stdout.splitlines()
+                        if l.startswith("{")][-1])
+    assert stats["buckets_run"] == 3 and stats["rows_this_run"] == 12
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    stats2 = json.loads([l for l in r2.stdout.splitlines()
+                         if l.startswith("{")][-1])
+    assert stats2["buckets_run"] == 0 and stats2["buckets_done"] == 3
+
+    from photohive_spark import lineage
+    got = lineage.read_result(spark, out)
+    assert got.count() == 12
+    assert "hist_entropy" in got.columns and "palette" in got.columns
