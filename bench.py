@@ -437,6 +437,36 @@ def run_ann_recall(n_copies: int = 100, k: int = 10, n_queries: int = 20
                 "query_ms": round(float(np.median(walls)) * 1e3, 1),
                 "build_s": round(build_s, 1)}
 
+            if n_planes == 8:
+                # multiprobe points on the default-plane index: same
+                # index, more probed partitions, recall recovery path
+                for n_probe in (4, 16):
+                    recalls, scans, walls = [], [], []
+                    for qid, qv in queries:
+                        planes = S.hyperplanes(dim, n_planes)
+                        sigs = S.multiprobe_signatures(planes, qv, n_probe)
+                        scanned = 0
+                        for sig in sigs:
+                            bdir = __import__("pathlib").Path(path) \
+                                / f"bucket={sig}"
+                            if bdir.exists():
+                                scanned += sum(
+                                    f.stat().st_size
+                                    for f in bdir.rglob("*.parquet"))
+                        t0 = time.time()
+                        got = {r.vec_id for r in
+                               S.lsh_topk_indexed(spark, path, qv, k=k,
+                                                  n_planes=n_planes,
+                                                  n_probe=n_probe).collect()}
+                        walls.append(time.time() - t0)
+                        recalls.append(len(got & truth[qid]) / k)
+                        scans.append(scanned / max(total_bytes, 1))
+                    reg["lsh"][f"planes_8_probe_{n_probe}"] = {
+                        "recall": round(float(np.mean(recalls)), 3),
+                        "scan_frac": round(float(np.mean(scans)), 4),
+                        "query_ms": round(float(np.median(walls)) * 1e3, 1),
+                        "build_s": round(build_s, 1)}
+
         cents = S.ivf_centroids_from_sample(corpus, n_cells=64,
                                             sample_rows=4096)
         ivf_path = f"/tmp/photohive_bench/ann_{regime}_ivf"

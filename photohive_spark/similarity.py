@@ -210,16 +210,58 @@ def write_lsh_index(emb: DataFrame, path: str, id_col: str = "vec_id",
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
+def multiprobe_signatures(planes: np.ndarray, query_vec: list[float],
+                          n_probe: int) -> list[int]:
+    """Multiprobe LSH probe sequence (Lv et al., VLDB'07 idea): the
+    buckets most likely to hold a query's near neighbors are the ones
+    reached by flipping the hyperplane bits with the SMALLEST projection
+    margin |q.h|. Candidates = every subset of the t lowest-margin bits
+    (t sized so 2^t >= n_probe), scored by the sum of squared flipped
+    margins; the n_probe lowest scores win (the base signature scores 0,
+    so it is always probed first). Deterministic: ties broken by bucket
+    id. Recall rises with n_probe at linear scan cost — no index rebuild,
+    unlike adding hash tables."""
+    import itertools
+
+    margins = np.array([_seq_dot(p, query_vec) for p in planes])
+    base = int(sum((1 << j) for j, m in enumerate(margins) if m > 0))
+    n_planes = len(planes)
+    t = min(n_planes, max(1, int(np.ceil(np.log2(max(2, n_probe)))) + 2))
+    order = np.argsort(np.abs(margins))[:t]
+    cands: list[tuple[float, int]] = []
+    for r in range(t + 1):
+        for subset in itertools.combinations(range(t), r):
+            bits = [int(order[i]) for i in subset]
+            sig = base
+            for b in bits:
+                sig ^= (1 << b)
+            cands.append((float(sum(margins[b] ** 2 for b in bits)), sig))
+    cands.sort()
+    out: list[int] = []
+    for _, sig in cands:
+        if sig not in out:
+            out.append(sig)
+        if len(out) >= n_probe:
+            break
+    return out
+
+
 def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
                      id_col: str = "vec_id", n_planes: int = 8,
-                     seed: int = 42) -> DataFrame:
-    """ANN top-k over a write_lsh_index table: the bucket equality filter
-    is a PartitionFilter (asserted in tests), so only the query's
-    partition directory is scanned."""
+                     seed: int = 42, n_probe: int = 1) -> DataFrame:
+    """ANN top-k over a write_lsh_index table: the bucket membership
+    filter is a PartitionFilter (asserted in tests), so only the probed
+    partition directories are scanned.
+
+    ``n_probe > 1`` enables multiprobe (see multiprobe_signatures): scan
+    cost grows ~linearly in n_probe while recall recovers on corpora
+    whose neighbors are NOT angular-close — the measured failure mode of
+    single-probe sign-LSH (BENCH/BASELINE.md round-4 recall sweep)."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qsig = query_signature(planes, query_vec)
+    sigs = multiprobe_signatures(planes, query_vec, n_probe) \
+        if n_probe > 1 else [query_signature(planes, query_vec)]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (spark.read.parquet(path).where(F.col("bucket") == qsig)
+    return (spark.read.parquet(path).where(F.col("bucket").isin(sigs))
             .select(id_col,
                     F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
