@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     args = ap.parse_args()
 
+    import os
+
     import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
@@ -41,9 +43,39 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("photohive-images").getOrCreate()
     t0 = time.time()
+
+    # pin --mode for the lifetime of the output dir: resuming a fake-mode
+    # run with --mode real (or vice versa) would silently mix pseudo and
+    # real features in one schema-identical table
+    os.makedirs(os.path.join(args.output, "_lineage"), exist_ok=True)
+    mode_path = os.path.join(args.output, "_lineage", "job_meta.json")
+    if os.path.exists(mode_path):
+        with open(mode_path) as fh:
+            recorded = json.load(fh)["mode"]
+        if recorded != args.mode:
+            raise SystemExit(
+                f"{args.output} was started with --mode {recorded}; "
+                f"resuming with --mode {args.mode} would mix decode "
+                f"semantics — delete the dir or match the mode")
+    else:
+        with open(mode_path, "w") as fh:
+            json.dump({"mode": args.mode}, fh)
+
     media = spark.read.parquet(args.media) \
         .withColumn("media_id", F.col("media_id").cast("string")) \
         .where(F.col("kind") == "image")
+    # resume optimization: a bucket filter above image_report's
+    # mapInPandas cannot be pushed below it, so without this pre-filter a
+    # resume would RE-DECODE the whole corpus just to write the missing
+    # buckets. bucket_of is the same deterministic hash run_resumable
+    # partitions by, computed on the pass-through media_id, so filtering
+    # the input to missing buckets is exactly equivalent — and skips the
+    # decode+FFT (the dominant cost) for completed ones.
+    missing = [b for b in range(args.n_buckets)
+               if b not in lineage.completed_buckets(args.output)]
+    if len(missing) < args.n_buckets:
+        media = media.where(
+            lineage.bucket_of("media_id", args.n_buckets).isin(missing))
     reports = multimodal.image_report(media, mode=args.mode)
     entries = lineage.run_resumable(spark, reports, args.output,
                                     key_col="media_id",

@@ -3,8 +3,11 @@
 - brute-force cosine top-k: the exactness baseline, all JVM-side
   (``F.aggregate``/``F.zip_with`` dot products inside whole-stage codegen);
 - LSH-bucketed ANN: deterministic random-hyperplane signatures restrict
-  the search to bucket-mates — the scale path (each query probes one
-  bucket per table, so a 10^12-row corpus is never fully scanned).
+  the search to bucket-mates — the scale path (a query probes one bucket
+  by default, or the ``n_probe`` lowest-margin multiprobe buckets, so a
+  10^12-row corpus is never fully scanned);
+- IVF ANN: sample-trained k-means cells, the data-adaptive index that
+  holds recall on corpora whose neighbors are not angular-close.
 
 No Python UDFs; the hyperplanes are a broadcast literal array.
 """
@@ -223,8 +226,12 @@ def multiprobe_signatures(planes: np.ndarray, query_vec: list[float],
     unlike adding hash tables."""
     import itertools
 
-    margins = np.array([_seq_dot(p, query_vec) for p in planes])
-    base = int(sum((1 << j) for j, m in enumerate(margins) if m > 0))
+    raw = np.array([_seq_dot(p, query_vec) for p in planes])
+    base = int(sum((1 << j) for j, m in enumerate(raw) if m > 0))
+    # the flip likelihood depends on the query's DISTANCE to each plane's
+    # boundary = |q.p| / ||p|| — hyperplanes() is unnormalized Gaussian,
+    # so raw margins would bias the order toward small-norm planes
+    margins = raw / np.maximum(np.linalg.norm(planes, axis=1), 1e-12)
     n_planes = len(planes)
     t = min(n_planes, max(1, int(np.ceil(np.log2(max(2, n_probe)))) + 2))
     order = np.argsort(np.abs(margins))[:t]
@@ -237,13 +244,9 @@ def multiprobe_signatures(planes: np.ndarray, query_vec: list[float],
                 sig ^= (1 << b)
             cands.append((float(sum(margins[b] ** 2 for b in bits)), sig))
     cands.sort()
-    out: list[int] = []
-    for _, sig in cands:
-        if sig not in out:
-            out.append(sig)
-        if len(out) >= n_probe:
-            break
-    return out
+    # every subset XORs a distinct mask, so candidate sigs are unique by
+    # construction — the first n_probe after the score sort are the answer
+    return [sig for _, sig in cands[:n_probe]]
 
 
 def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,

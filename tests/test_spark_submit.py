@@ -175,6 +175,7 @@ def test_spark_submit_run_image_reports_and_resume(tmp_path, spark):
     assert stats["buckets_run"] == 3 and stats["rows_this_run"] == 12
 
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
     stats2 = json.loads([l for l in r2.stdout.splitlines()
                          if l.startswith("{")][-1])
     assert stats2["buckets_run"] == 0 and stats2["buckets_done"] == 3
@@ -183,3 +184,10 @@ def test_spark_submit_run_image_reports_and_resume(tmp_path, spark):
     got = lineage.read_result(spark, out)
     assert got.count() == 12
     assert "hist_entropy" in got.columns and "palette" in got.columns
+
+    # --mode is pinned: resuming with a different decode mode must fail
+    # loudly instead of mixing fake and real features in one table
+    r3 = subprocess.run(cmd + ["--mode", "fake"], capture_output=True,
+                        text=True, timeout=600)
+    assert r3.returncode != 0
+    assert "mode" in (r3.stderr + r3.stdout)
