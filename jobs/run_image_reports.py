@@ -73,7 +73,7 @@ def main() -> None:
     # decode+FFT (the dominant cost) for completed ones.
     missing = [b for b in range(args.n_buckets)
                if b not in lineage.completed_buckets(args.output)]
-    if len(missing) < args.n_buckets:
+    if 0 < len(missing) < args.n_buckets:
         media = media.where(
             lineage.bucket_of("media_id", args.n_buckets).isin(missing))
     reports = multimodal.image_report(media, mode=args.mode)
