@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-``mode="real"`` REALLY decodes images (PNG, via the pure-stdlib codec in
-png.py — no PIL needed) and audio (PCM WAV, via stdlib ``wave``); video
-remains stubbed (frame extraction genuinely needs libav, absent here) and
-raises NotImplementedError. The default deterministic fake derives a
+``mode="real"`` REALLY decodes images (PNG and baseline JPEG, via the
+pure-stdlib codecs in png.py/jpeg.py, dispatched by magic bytes — no PIL
+needed) and audio (PCM WAV, via stdlib ``wave``); video remains stubbed
+(frame extraction genuinely needs libav, absent here) and raises
+NotImplementedError. The default deterministic fake derives a
 pseudo sample plane from the bytes (sha256-seeded) so plumbing tests are
 exact and payload-format-independent.
 
@@ -171,7 +172,7 @@ def _image_planes(payload, meta, mode: str):
     the full 2-D pipeline is drivable without codecs."""
     if mode == "real":
         from . import png
-        p = png.decode_rgb(payload)
+        p = png.decode_image_rgb(payload)     # PNG or JPEG by magic bytes
         return p["r"], p["g"], p["b"]
     w = int(meta.get("meta_width") or 64)
     h = int(meta.get("meta_height") or 64)

@@ -209,13 +209,14 @@ def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
 
 
 def decode_gray_samples(data: bytes) -> np.ndarray:
-    """PNG bytes -> flattened BT.601 luminance plane in [0,1] — the 1-D
-    sample stream the DSP feature kernels consume. Delegates to
-    kernels.rgb2pgm (the canonical reference-parity projection) so the
-    1-D media path and the 2-D image_report path can never drift."""
+    """Image bytes (PNG or JPEG, sniffed) -> flattened BT.601 luminance
+    plane in [0,1] — the 1-D sample stream the DSP feature kernels
+    consume. Delegates to kernels.rgb2pgm (the canonical
+    reference-parity projection) so the 1-D media path and the 2-D
+    image_report path can never drift."""
     from .kernels import rgb2pgm
 
-    p = decode_rgb(data)
+    p = decode_image_rgb(data)
     return rgb2pgm(p["r"], p["g"], p["b"]).reshape(-1)
 
 
@@ -244,3 +245,14 @@ def decode_wav_samples(data: bytes) -> np.ndarray:
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x
+
+
+def decode_image_rgb(data: bytes) -> dict[str, np.ndarray]:
+    """Format-sniffing image decode: PNG or baseline JPEG by magic bytes
+    -> the planar float RGB contract of decode_rgb. This is the
+    ``decode="real"`` entry multimodal uses, mirroring the reference's
+    PIL boundary accepting any decodable format (utils.py:30-46)."""
+    if data[:2] == b"\xff\xd8":
+        from . import jpeg
+        return jpeg.decode_rgb(data)
+    return decode_rgb(data)

@@ -1,0 +1,131 @@
+"""Baseline JPEG codec: encoder<->decoder round trip, independent
+validation against real JPEGs produced by external encoders (system test
+files), cross-format pixel agreement with the PNG codec, and the
+magic-byte dispatch into the Spark media pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from photohive_spark import jpeg, multimodal, png
+
+_SYS = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+_EXTERNAL = [
+    (f"{_SYS}/site-packages/IPython/core/tests/2x2.jpg", (2, 2)),
+    (f"{_SYS}/test/imghdrdata/python.jpg", (16, 16)),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc"
+     "/rust/html/embedded-book/assets/verify.jpeg", (477, 720)),
+]
+
+
+def test_roundtrip_flat_exact():
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert out.shape == (16, 16, 1)
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_roundtrip_gradient_tight():
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack([(x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256],
+                   axis=2).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 4
+
+
+@pytest.mark.parametrize("shape", [(17, 19, 3), (8, 8, 3), (9, 8, 1)])
+def test_roundtrip_noise_psnr(shape):
+    # non-multiple-of-8 dims exercise the edge-replicated padding
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert out.shape == (shape[0], shape[1], shape[2])
+    err = out.astype(float) - img.astype(float)
+    psnr = 10 * np.log10(255.0 ** 2 / (err ** 2).mean())
+    assert psnr >= 30.0, psnr
+
+
+def test_quality_tradeoff():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    hi = jpeg.encode_jpeg(img, quality=95)
+    lo = jpeg.encode_jpeg(img, quality=20)
+    assert len(lo) < len(hi)
+
+    def mse(d):
+        o = jpeg.decode_jpeg(d).astype(float)
+        return ((o - img) ** 2).mean()
+
+    assert mse(lo) > mse(hi)
+
+
+@pytest.mark.parametrize("path,shape", [
+    pytest.param(p, s, marks=pytest.mark.skipif(
+        not os.path.exists(p), reason="system file absent"))
+    for p, s in _EXTERNAL])
+def test_decode_external_jpegs(path, shape):
+    """Real JPEGs from external encoders (IPython/CPython/Rust docs test
+    assets) — validates the decoder against files our encoder never
+    produced, including 4:2:0 chroma subsampling on the large photo."""
+    out = jpeg.decode_jpeg(open(path, "rb").read())
+    assert out.shape[:2] == shape
+    assert out.shape[2] in (1, 3)
+    # plausible pixel content, not garbage
+    assert 5.0 < float(out.mean()) < 250.0
+
+
+def test_cross_format_agreement_with_png():
+    """imghdrdata ships the SAME logo as python.jpg and python.png —
+    decoding each with our two independent codecs must agree within
+    JPEG's lossy error (both files come from external encoders)."""
+    jp = f"{_SYS}/test/imghdrdata/python.jpg"
+    pp = f"{_SYS}/test/imghdrdata/python.png"
+    if not (os.path.exists(jp) and os.path.exists(pp)):
+        pytest.skip("system files absent")
+    j = jpeg.decode_jpeg(open(jp, "rb").read()).astype(float)
+    p = png.decode_png(open(pp, "rb").read())[:, :, :3].astype(float)
+    assert j.shape == p.shape
+    assert np.abs(j - p).mean() < 15.0
+
+
+def test_error_paths():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg")
+    good = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # patch SOF0 -> SOF2: progressive must be rejected loudly
+    sof_at = bytes(good).index(b"\xff\xc0")
+    good[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        jpeg.decode_jpeg(bytes(good))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(jpeg.encode_jpeg(
+            np.zeros((8, 8), dtype=np.uint8))[:40])   # truncated pre-SOS
+
+
+def test_dispatch_and_spark_pipeline(spark):
+    """decode_image_rgb sniffs JPEG vs PNG; media_features and
+    image_report process JPEG payloads end-to-end with mode='real'."""
+    from photohive_spark import kernels as K
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    jdata = jpeg.encode_jpeg(img, quality=95)
+    p = png.decode_image_rgb(jdata)
+    assert p["height"] == 24 and p["width"] == 24
+    # dispatch must route identically to the jpeg module
+    np.testing.assert_array_equal(p["r"], jpeg.decode_rgb(jdata)["r"])
+
+    rows = [("j0", "image", bytearray(jdata), 24, 24, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.media_features(media, mode="real").collect()[0]
+    x = png.decode_gray_samples(jdata)
+    mean, std = K.rms_stats(x)
+    assert feat.n_samples == len(x)
+    assert feat.rms_mean == pytest.approx(mean, rel=1e-12)
+    rep = multimodal.image_report(media, mode="real").collect()[0]
+    assert (rep.height, rep.width) == (24, 24)
+    gray = K.rgb2pgm(p["r"], p["g"], p["b"])
+    assert rep.rms_mean == pytest.approx(
+        K.rms_stats(gray.reshape(-1))[0], rel=1e-12)
