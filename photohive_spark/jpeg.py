@@ -148,16 +148,25 @@ class _BitReader:
 
     def align_and_expect_rst(self, n: int) -> None:
         """Byte-align and consume the RSTn marker between restart
-        intervals."""
+        intervals — the modulo-8 sequence number is VALIDATED (a dropped
+        or extra restart must fail loudly, not resync the remaining MCUs
+        to the wrong offset)."""
         self.bit = 0
         d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                self.marker = None
-                return
-            self.pos += 1
-        raise ValueError("missing restart marker")
+        p = self.pos
+        if p < len(d) and d[p] != 0xFF:
+            raise ValueError("expected restart marker, found entropy data")
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1                               # legal fill bytes
+        if p + 1 >= len(d) or d[p] != 0xFF:
+            raise ValueError("missing restart marker")
+        expect = 0xD0 + (n % 8)
+        if d[p + 1] != expect:
+            raise ValueError(
+                f"restart marker out of sequence: expected "
+                f"0xFF{expect:02X}, found 0xFF{d[p + 1]:02X}")
+        self.pos = p + 2
+        self.marker = None
 
 
 def _extend(v: int, t: int) -> int:
@@ -183,9 +192,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:                      # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # TEM/RSTn: standalone
+            pos += 2
+            continue
         (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seg_len]
         pos_next = pos + 2 + seg_len
@@ -207,6 +222,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported component count {nc} (grayscale or "
+                    f"YCbCr only — CMYK/YCCK would decode as garbage)")
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
@@ -233,10 +252,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    f"non-interleaved scan ({ns} of {len(frame['comps'])} "
+                    f"components) not supported — the single-scan "
+                    f"interleaved MCU layout is assumed")
             scan = []
             for c in range(ns):
                 cs, tds = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next((x for x in frame["comps"] if x["id"] == cs),
+                            None)
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references component id {cs} absent from SOF")
                 scan.append({**comp, "dc": tds >> 4, "ac": tds & 0x0F})
             return _decode_scan(data, pos_next, frame, scan, qt, huff,
                                 restart_interval)
@@ -351,6 +379,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     h, w, nc = a.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError(
+            f"image dimensions {h}x{w} outside JPEG's 1..65535 range")
     ql = _quality_scale(_Q_LUMA, quality)
     qc = _quality_scale(_Q_CHROMA, quality)
 
@@ -441,6 +472,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             buf.append(byte)
             if byte == 0xFF:
                 buf.append(0x00)
+        # keep only the undrained low bits: without this mask acc grows
+        # into an O(output-size) bigint and packing turns quadratic
+        acc &= (1 << nb) - 1
     if nb:
         byte = ((acc << (8 - nb)) | ((1 << (8 - nb)) - 1)) & 0xFF
         buf.append(byte)

@@ -166,10 +166,11 @@ IMAGE_REPORT_SCHEMA = T.StructType([
 
 
 def _image_planes(payload, meta, mode: str):
-    """bytes -> (r, g, b) float planes in [0,1]. Real mode decodes PNG via
-    png.decode_rgb (the reference ingest, utils.py:30-46); fake mode
-    reshapes the deterministic pseudo-decode into a meta-sized plane so
-    the full 2-D pipeline is drivable without codecs."""
+    """bytes -> (r, g, b) float planes in [0,1]. Real mode decodes PNG or
+    baseline JPEG via png.decode_image_rgb's magic-byte dispatch (the
+    reference ingest, utils.py:30-46); fake mode reshapes the
+    deterministic pseudo-decode into a meta-sized plane so the full 2-D
+    pipeline is drivable without codecs."""
     if mode == "real":
         from . import png
         p = png.decode_image_rgb(payload)     # PNG or JPEG by magic bytes
