@@ -693,14 +693,16 @@ def q_media_features(spark, sf_dir):
 
 def q_image_report(spark, sf_dir):
     """The reference's primary use case end-to-end on REAL images: 24
-    deterministic PNGs (seeded noise+gradient, encoded by the pure-stdlib
-    codec) -> decode -> full 2-D report (histogram entropy, palette, polar
-    blur profile peaks, Laplacian sharpness — interface.c:28-93 stage
-    order). Rows-only: the 2-D pipeline has no SQL form; parity is pinned
-    by tests/test_png.py golden/local-kernel tests."""
+    deterministic images (seeded noise+gradient) — even indices encoded
+    as PNG, odd as baseline JPEG, both by the pure-stdlib codecs — ->
+    magic-byte-dispatched decode -> full 2-D report (histogram entropy,
+    palette, polar blur profile peaks, Laplacian sharpness —
+    interface.c:28-93 stage order). Rows-only: the 2-D pipeline has no
+    SQL form; parity is pinned by tests/test_png.py + tests/test_jpeg.py
+    golden/local-kernel tests."""
     import numpy as np
 
-    from photohive_spark import multimodal, png
+    from photohive_spark import jpeg, multimodal, png
 
     rows = []
     for i in range(24):
@@ -709,8 +711,9 @@ def q_image_report(spark, sf_dir):
         grad = (np.arange(ww) * (3 + i)).astype(np.int64) % 256
         img = ((rng.integers(0, 256, (hh, ww, 3)) + grad[None, :, None])
                % 256).astype(np.uint8)
-        rows.append((f"img{i:02d}", "image", png.encode_png(img),
-                     ww, hh, None, None))
+        payload = png.encode_png(img) if i % 2 == 0 \
+            else jpeg.encode_jpeg(img, quality=92)
+        rows.append((f"img{i:02d}", "image", payload, ww, hh, None, None))
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.image_report(media, mode="real")
     return out.select(
