@@ -189,10 +189,12 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     polar blur profile -> spectral peaks, 3x3-Laplacian sharpness —
     distributed over an opaque-binary media column.
 
-    Stage order mirrors the reference: downsample feeds ONLY the
+    Stage order mirrors the reference: downsample (2-D NxN subsample with
+    floor'd dims, ``src/image_processing.c:344``) feeds ONLY the
     HSV/histogram/palette path (``src/interface.c:39-50``); RMS stats and
-    the FFT run on the full-resolution gray plane with DC bias = the
-    stats mean (``src/interface.c:78-79``). Per-image cost is dominated
+    the FFT run on the full-resolution gray plane with DC bias =
+    (Br+Bg+Bb)/3, the average of the full-res channel means
+    (``src/interface.c:78-79``). Per-image cost is dominated
     by the rfft2 — inherently per-row work (images vary in size), Arrow-
     batched at the boundary like media_features; no shuffle anywhere."""
     from . import kernels as K
@@ -215,16 +217,26 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 gray = K.rgb2pgm(r, g, b)
                 rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
+                # DC bias of the blur profile is the UNWEIGHTED average of
+                # the three full-res channel means (interface.c:78-79:
+                # avg = (Br+Bg+Bb)/3), not the BT.601 gray mean — for
+                # colored images the two differ
+                dc_bias = (float(r.mean()) + float(g.mean())
+                           + float(b.mean())) / 3.0
+                # downsample_rgb (image_processing.c:344) subsamples the 2-D
+                # grid NxN with floor'd output dims (h//N x w//N)
                 rate = cfg.downsample_rate
-                h, s, v = K.rgb2hsv(r.reshape(-1)[::rate],
-                                    g.reshape(-1)[::rate],
-                                    b.reshape(-1)[::rate])
+                nh, nw = r.shape[0] // rate, r.shape[1] // rate
+                rd = r[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+                gd = g[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+                bd = b[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+                h, s, v = K.rgb2hsv(rd, gd, bd)
                 gi = (K.hist_bin_ids(h, s, v, cfg) if h.size
                       else np.array([], dtype=np.int64))
                 counts = np.bincount(gi, minlength=cfg.hist_cells) \
                     .astype(np.int64)
                 pal = K.palette(h, s, v, cfg, g=gi, counts=counts)
-                prof = K.blur_profile_plane(gray, cfg, dc_bias=rms_mean)
+                prof = K.blur_profile_plane(gray, cfg, dc_bias=dc_bias)
                 peaks = K.spectral_peaks(prof, cfg)
                 out.append({
                     "media_id": ids[i],

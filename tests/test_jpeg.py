@@ -90,6 +90,93 @@ def test_cross_format_agreement_with_png():
     assert np.abs(j - p).mean() < 15.0
 
 
+@pytest.mark.parametrize("shape", [(16, 16), (17, 19, 3), (64, 48, 3),
+                                   (8, 8, 3), (9, 8)])
+def test_progressive_decode_equals_baseline(shape):
+    """encode_jpeg_progressive shares the quantized coefficients with
+    encode_jpeg (one vectorized quantizer), so decoding the progressive
+    stream must reproduce the baseline decode EXACTLY — pinning every
+    Annex-G path (DC first/refine, split-band AC first with EOBn runs,
+    AC refinement correction bits) against the sequential decoder."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    prog_bytes = jpeg.encode_jpeg_progressive(img, quality=90)
+    # really progressive: SOF2 present, SOF0 absent
+    assert b"\xff\xc2" in prog_bytes and b"\xff\xc0" not in prog_bytes
+    prog = jpeg.decode_jpeg(prog_bytes)
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_smooth_long_eob_runs():
+    """A flat-blocked image drives multi-block EOB runs (the EOBRUN>1
+    path on both encoder and decoder sides)."""
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack([(x // 8 * 20) % 256, (y // 8 * 20) % 256,
+                    np.full_like(x, 128)], axis=2).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=35))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=35))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_noninterleaved_grayscale_ignores_sampling_factors():
+    """Per T.81 A.2.2 a single-component scan is NON-interleaved: MCU =
+    one data unit in raster order, sampling factors ignored. A grayscale
+    JPEG whose SOF declares 2x2 sampling must decode identically to the
+    same stream declaring 1x1 — not scramble data units."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)  # 16-multiples
+    plain = jpeg.encode_jpeg(img, quality=92)
+    want = jpeg.decode_jpeg(plain)
+    patched = bytearray(plain)
+    sof_at = plain.index(b"\xff\xc0")
+    assert patched[sof_at + 11] == 0x11     # component 0 sampling byte
+    patched[sof_at + 11] = 0x22
+    got = jpeg.decode_jpeg(bytes(patched))
+    np.testing.assert_array_equal(want, got)
+
+
+def _with_app14(data: bytes, transform: int) -> bytes:
+    body = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    seg = b"\xff\xee" + (len(body) + 2).to_bytes(2, "big") + body
+    return data[:2] + seg + data[2:]
+
+
+def test_app14_transform_flag():
+    """APP14 transform=1 (YCbCr) decodes identically to no marker;
+    transform=0 signals literal RGB components — the YCbCr matrix must
+    NOT be applied (channel 0 then equals the encoded luma plane)."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=95)
+    std = jpeg.decode_jpeg(data)
+    np.testing.assert_array_equal(std, jpeg.decode_jpeg(_with_app14(data, 1)))
+    ident = jpeg.decode_jpeg(_with_app14(data, 0))
+    assert not np.array_equal(ident, std)   # matrix genuinely skipped
+    luma = (0.299 * std[:, :, 0].astype(float)
+            + 0.587 * std[:, :, 1] + 0.114 * std[:, :, 2])
+    assert np.abs(ident[:, :, 0].astype(float) - luma).max() <= 3.0
+
+
+def test_progressive_error_paths():
+    """Annex-G validation stays loud: a baseline-shaped scan header
+    inside a progressive frame, and a >1-bit approximation step, both
+    raise."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = bytearray(jpeg.encode_jpeg(img))
+    good[bytes(good).index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        jpeg.decode_jpeg(bytes(good))
+    prog = bytearray(jpeg.encode_jpeg_progressive(img))
+    # first SOS: ...[ns][id td][Ss Se AhAl]; patch AhAl of the DC-first
+    # scan (0x01 -> 0x31: Ah=3, Al=1 is not a one-bit step)
+    sos_at = bytes(prog).index(b"\xff\xda")
+    assert prog[sos_at + 9] == 0x01
+    prog[sos_at + 9] = 0x31
+    with pytest.raises(ValueError, match="one bit"):
+        jpeg.decode_jpeg(bytes(prog))
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")

@@ -169,9 +169,12 @@ def _local_image_report(r, g, b, cfg=None):
     cfg = cfg or DEFAULT_CONFIG
     gray = K.rgb2pgm(r, g, b)
     rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
+    dc_bias = (float(r.mean()) + float(g.mean()) + float(b.mean())) / 3.0
     rate = cfg.downsample_rate
-    h, s, v = K.rgb2hsv(r.reshape(-1)[::rate], g.reshape(-1)[::rate],
-                        b.reshape(-1)[::rate])
+    nh, nw = r.shape[0] // rate, r.shape[1] // rate
+    h, s, v = K.rgb2hsv(r[:nh * rate:rate, :nw * rate:rate].reshape(-1),
+                        g[:nh * rate:rate, :nw * rate:rate].reshape(-1),
+                        b[:nh * rate:rate, :nw * rate:rate].reshape(-1))
     gi = K.hist_bin_ids(h, s, v, cfg)
     counts = np.bincount(gi, minlength=cfg.hist_cells).astype(np.int64)
     return {
@@ -180,7 +183,7 @@ def _local_image_report(r, g, b, cfg=None):
         "hist_entropy": K.entropy(counts),
         "palette": K.palette(h, s, v, cfg, g=gi, counts=counts),
         "peaks": K.spectral_peaks(
-            K.blur_profile_plane(gray, cfg, dc_bias=rms_mean), cfg),
+            K.blur_profile_plane(gray, cfg, dc_bias=dc_bias), cfg),
         "sharpness_avg": K.sharpness_plane_avg(gray, cfg),
         "sharpness_var": K.sharpness_plane_var(gray),
     }
@@ -220,6 +223,55 @@ def test_image_report_real_matches_local_kernels(spark):
                 np.array(gr.spectral_peaks).reshape(-1, 2)] == \
             [(int(a_), pytest.approx(m_, rel=1e-9))
              for a_, m_ in want["peaks"]]
+
+
+def test_image_report_dc_bias_and_2d_downsample(spark):
+    """Regression for two reference-parity fixes: (a) blur-profile DC bias
+    is (Br+Bg+Bb)/3 — on a pure-blue image that's 1/3, NOT the BT.601
+    gray mean 0.114 (interface.c:78-79); (b) downsample_rate>1 subsamples
+    the 2-D grid NxN with floor'd dims (image_processing.c:344), not a
+    1-D stride over the flattened plane."""
+    from dataclasses import replace
+    from photohive_spark import kernels as K
+    from photohive_spark.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (21, 26, 3), dtype=np.uint8)  # non-multiple dims
+    blue = np.zeros((16, 16, 3), dtype=np.uint8)
+    blue[:, :, 2] = 255
+    cfg = replace(DEFAULT_CONFIG, downsample_rate=2)
+    rows = [("a", "image", png.encode_png(a), 26, 21, None, None),
+            ("blue", "image", png.encode_png(blue), 16, 16, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           multimodal.image_report(media, cfg=cfg, mode="real").collect()}
+
+    # (a) pure-blue: profile DC bin removes bias (B_bar+0+0)/3 = 1/3, so
+    # peaks must equal the local kernel run with dc_bias=1/3 — and differ
+    # from a run with the old (wrong) gray-mean bias
+    p = png.decode_rgb(png.encode_png(blue))
+    gray = K.rgb2pgm(p["r"], p["g"], p["b"])
+    want = K.spectral_peaks(
+        K.blur_profile_plane(gray, cfg, dc_bias=1.0 / 3.0), cfg)
+    got_peaks = [(int(x), m) for x, m in
+                 np.array(got["blue"].spectral_peaks).reshape(-1, 2)]
+    assert got_peaks == [(int(x), pytest.approx(m, rel=1e-9))
+                         for x, m in want]
+
+    # (b) rate=2 on 21x26: histogram path sees floor(21/2)*floor(26/2)
+    # = 10*13 = 130 samples taken on the 2-D grid
+    pa = png.decode_rgb(png.encode_png(a))
+    want_a = _local_image_report(pa["r"], pa["g"], pa["b"], cfg=cfg)
+    assert got["a"].hist_entropy == pytest.approx(
+        want_a["hist_entropy"], rel=1e-12)
+    assert got["a"].mean_norm_value == pytest.approx(
+        want_a["mean_norm_value"], rel=1e-12)
+    r2d = pa["r"][:20:2, :26:2]
+    assert r2d.shape == (10, 13)
+    h2, s2, v2 = K.rgb2hsv(r2d.reshape(-1), pa["g"][:20:2, :26:2].reshape(-1),
+                           pa["b"][:20:2, :26:2].reshape(-1))
+    assert got["a"].mean_norm_value == pytest.approx(float(s2.mean()),
+                                                     rel=1e-12)
 
 
 def test_image_report_semantics(spark):
