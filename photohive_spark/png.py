@@ -2,9 +2,10 @@
 
 The container has no PIL/libav, but PNG's format is fully decodable with
 ``zlib`` alone, so ``decode="real"`` does not need to stay a stub for
-images: this module implements a spec-complete decoder for the common
-profile (8-bit, non-interlaced; gray / RGB / palette / gray+alpha / RGBA;
-all five scanline filters) and a matching encoder for tests and sinks.
+images: this module implements a spec-complete decoder for 8- and 16-bit
+depths (16-bit reduces to the high byte), non-interlaced AND Adam7
+interlaced, gray / RGB / palette / gray+alpha / RGBA, all five scanline
+filters — plus a matching encoder (same profiles) for tests and sinks.
 
 Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
 (reference ``utils.py:30-46``) — encoded bytes -> per-channel float
@@ -94,13 +95,20 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, C) uint8. C is 1 (gray), 2 (gray+alpha),
     3 (RGB — palette images are expanded), or 4 (RGBA).
 
-    Supported profile: bit depth 8, non-interlaced — the overwhelmingly
-    common case and everything our encoder emits. Other profiles raise
-    ValueError (fail loudly, never garbage pixels)."""
+    Supported profile: bit depth 8 or 16 (16-bit reduces to the high
+    byte, the standard 16->8 conversion), non-interlaced or Adam7
+    interlaced (each of the 7 passes is an independently-filtered
+    sub-image scattered back onto the pixel grid). Sub-8-bit depths
+    raise ValueError (fail loudly, never garbage pixels)."""
     ihdr = None
     palette = None
     idat = []
@@ -114,19 +122,40 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth} (only 8)")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {depth} (only 8/16)")
     if ctype not in _CHANNELS:
         raise ValueError(f"unknown color type {ctype}")
+    if ctype == 3 and depth == 16:
+        raise ValueError("palette images cannot be 16-bit")
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension image")
-    bpp = _CHANNELS[ctype]
+    nch = _CHANNELS[ctype]
+    bypp = nch * (depth // 8)                 # filter distance is BYTES
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    px = _unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if interlace == 0:
+        px = _unfilter(raw, h, w, bypp).reshape(h, w, bypp)
+    else:
+        px = np.zeros((h, w, bypp), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw <= 0 or ph <= 0:            # pass empty for small dims
+                continue
+            need = ph * (pw * bypp + 1)
+            sub = _unfilter(raw[pos:pos + need], ph, pw, bypp)
+            px[ys::yst, xs::xst] = sub.reshape(ph, pw, bypp)
+            pos += need
+        if pos != len(raw):
+            raise ValueError(
+                "IDAT length does not match Adam7 pass layout")
+    if depth == 16:
+        px = np.ascontiguousarray(px.reshape(h, w, nch, 2)[:, :, :, 0])
     if ctype == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
@@ -134,39 +163,32 @@ def decode_png(data: bytes) -> np.ndarray:
     return px
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """(H, W) or (H, W, C) uint8 -> PNG bytes. C in {1,2,3,4} maps to
-    gray / gray+alpha / RGB / RGBA. ``filter_type`` applies one scanline
-    filter to every row (0/1/2/3/4) — non-zero values exist mainly so
-    tests can exercise every decoder filter path against a round-trip."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, c = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = a.reshape(h, w * c).astype(np.int32)
-    stride = w * c
+def _filter_rows(flat: np.ndarray, bypp: int, filter_type: int) -> bytes:
+    """(rows, stride) int32 byte matrix -> filtered scanlines (one
+    filter byte + row each). ``bypp`` is the byte distance to the
+    left neighbor (channels x bytes-per-sample, per the PNG spec)."""
+    nrows, stride = flat.shape
     lines = []
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
+    for y in range(nrows):
         cur = flat[y]
         if filter_type == 0:
             out = cur
         elif filter_type == 1:
             left = np.zeros(stride, dtype=np.int32)
-            left[c:] = cur[:-c]
+            left[bypp:] = cur[:-bypp]
             out = (cur - left) % 256
         elif filter_type == 2:
             out = (cur - prev) % 256
         elif filter_type == 3:
             left = np.zeros(stride, dtype=np.int32)
-            left[c:] = cur[:-c]
+            left[bypp:] = cur[:-bypp]
             out = (cur - ((left + prev) >> 1)) % 256
         elif filter_type == 4:
             left = np.zeros(stride, dtype=np.int32)
-            left[c:] = cur[:-c]
+            left[bypp:] = cur[:-bypp]
             pl = np.zeros(stride, dtype=np.int32)
-            pl[c:] = prev[:-c]
+            pl[bypp:] = prev[:-bypp]
             p = left + prev - pl
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pl)
             pred = np.where((pa <= pb) & (pa <= pc), left,
@@ -176,13 +198,52 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             raise ValueError(f"unknown filter type {filter_type}")
         lines.append(bytes([filter_type]) + out.astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
 
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (struct.pack(">I", len(body)) + typ + body
-                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), level)
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6,
+               interlace: bool = False) -> bytes:
+    """(H, W) or (H, W, C) uint8 (or uint16 -> 16-bit depth) -> PNG
+    bytes. C in {1,2,3,4} maps to gray / gray+alpha / RGB / RGBA.
+    ``filter_type`` applies one scanline filter to every row (0..4);
+    ``interlace=True`` writes Adam7 passes. Non-default values exist
+    mainly so tests can exercise every decoder path via round-trip."""
+    a = np.asarray(arr)
+    depth16 = a.dtype == np.uint16
+    if not depth16:
+        a = a.astype(np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bypp = c * (2 if depth16 else 1)
+
+    def row_bytes(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape[:2]
+        if depth16:
+            b = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
+        else:
+            b = np.ascontiguousarray(sub)
+        return b.reshape(ph, pw * bypp).astype(np.int32)
+
+    if interlace:
+        parts = []
+        for xs, ys, xst, yst in _ADAM7:
+            sub = a[ys::yst, xs::xst]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(row_bytes(sub), bypp,
+                                          filter_type))
+        body = b"".join(parts)
+    else:
+        body = _filter_rows(row_bytes(a), bypp, filter_type)
+
+    def chunk(typ: bytes, body_: bytes) -> bytes:
+        return (struct.pack(">I", len(body_)) + typ + body_
+                + struct.pack(">I", zlib.crc32(typ + body_) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16 if depth16 else 8, ctype,
+                       0, 0, 1 if interlace else 0)
+    idat = zlib.compress(body, level)
     return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \
         + chunk(b"IEND", b"")
 

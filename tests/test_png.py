@@ -68,18 +68,52 @@ def test_error_paths():
     bad[idat_at] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         png.decode_png(bytes(bad))
-    # 16-bit depth rejected loudly
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-8-bit depth rejected loudly (16-bit is supported since r5)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
 
     def chunk(typ, body):
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
 
-    data16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-              + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
-              + chunk(b"IEND", b""))
+    data4 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(data16)
+        png.decode_png(data4)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 2, 4])
+def test_adam7_roundtrip(channels, filter_type):
+    """Adam7: every pass is an independently-filtered sub-image; decode
+    must reassemble the exact pixel grid. Dims chosen so several passes
+    are non-trivial and one dimension isn't a multiple of 8."""
+    rng = np.random.default_rng(channels + filter_type)
+    img = rng.integers(0, 256, (21, 13, channels), dtype=np.uint8)
+    data = png.encode_png(img, filter_type=filter_type, interlace=True)
+    # really interlaced: IHDR interlace byte set
+    assert data[8 + 8 + 12] == 1
+    np.testing.assert_array_equal(png.decode_png(data), img)
+    # tiny images leave some passes empty
+    small = rng.integers(0, 256, (3, 2, channels), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        png.decode_png(png.encode_png(small, interlace=True)), small)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_16bit_roundtrip(interlace):
+    """16-bit depth: filters run at 2-byte-per-sample distance; decode
+    reduces to the high byte (the standard 16->8 conversion)."""
+    rng = np.random.default_rng(16)
+    img16 = rng.integers(0, 65536, (12, 9, 3), dtype=np.uint16)
+    data = png.encode_png(img16, filter_type=1, interlace=interlace)
+    assert data[8 + 8 + 8] == 16            # IHDR depth byte
+    out = png.decode_png(data)
+    np.testing.assert_array_equal(out, (img16 >> 8).astype(np.uint8))
+    # gray 16-bit feeds decode_rgb like any other profile
+    g16 = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    p = png.decode_rgb(png.encode_png(g16))
+    np.testing.assert_allclose(p["r"], (g16 >> 8) / 255.0)
 
 
 def test_decode_rgb_contract():
