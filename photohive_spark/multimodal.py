@@ -150,6 +150,71 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     return media.select(*cols).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 
 
+IMAGE_DECODE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("rms_mean", T.DoubleType()),
+    T.StructField("rms_std", T.DoubleType()),
+    T.StructField("mean_sat", T.DoubleType()),
+    T.StructField("mean_val", T.DoubleType()),
+])
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode -> SQL-expressible per-image statistics: the
+    exact integer pixel checksum sum(r+g+b) (any decode defect breaks it
+    bit-for-bit), BT.601 gray mean/std (``get_rgb_statistics``,
+    ``src/image_processing.c:543-553``) and mean HSV saturation/value
+    with the reference's MAX_SATURATION/MAX_VALUE clamps
+    (``src/image_processing.c:372-417``).
+
+    This is the driver-oracle-checkable face of the real decode path:
+    for losslessly-encoded payloads (PNG, any profile) the decoded
+    planes equal the generator formula, so a DuckDB oracle can recompute
+    every output from first principles — pinning decode -> kernel math
+    in the correctness gate, not just in pytest. Same Arrow-batched
+    no-shuffle mapInPandas shape as image_report."""
+    from . import kernels as K
+    from . import png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in IMAGE_DECODE_STATS_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            ids = pdf["media_id"].tolist()
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                try:
+                    p = png.decode_image_rgb(
+                        b"" if payload is None else bytes(payload))
+                except Exception as e:
+                    raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
+                r, g, b = p["r"], p["g"], p["b"]
+                ints = (np.rint(r * 255) + np.rint(g * 255)
+                        + np.rint(b * 255)).astype(np.int64)
+                gray = K.rgb2pgm(r, g, b).reshape(-1)
+                rms_mean, rms_std = K.rms_stats(gray)
+                _, s, v = K.rgb2hsv(r.reshape(-1), g.reshape(-1),
+                                    b.reshape(-1))
+                out.append({
+                    "media_id": ids[i],
+                    "height": int(p["height"]),
+                    "width": int(p["width"]),
+                    "pixel_sum": int(ints.sum()),
+                    "rms_mean": rms_mean,
+                    "rms_std": rms_std,
+                    "mean_sat": float(s.mean()) if s.size else 0.0,
+                    "mean_val": float(v.mean()) if v.size else 0.0,
+                })
+            yield pd.DataFrame(out, columns=names)
+
+    cols = ["media_id", "payload"]
+    return media.select(*cols).mapInPandas(run, IMAGE_DECODE_STATS_SCHEMA)
+
+
 IMAGE_REPORT_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("height", T.IntegerType()),
