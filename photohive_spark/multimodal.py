@@ -246,6 +246,48 @@ def _image_planes(payload, meta, mode: str):
     return x, x, x
 
 
+def report_image_arrays(r: np.ndarray, g: np.ndarray, b: np.ndarray,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """The per-image report body on decoded float planes — the literal
+    ``get_full_report_data`` stage order (``src/interface.c:28-93``).
+    Split out of image_report so the decode and kernel stages can be
+    timed independently (bench.py --images) and reused outside Spark."""
+    from . import kernels as K
+
+    gray = K.rgb2pgm(r, g, b)
+    rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
+    # DC bias of the blur profile is the UNWEIGHTED average of the three
+    # full-res channel means (interface.c:78-79: avg = (Br+Bg+Bb)/3),
+    # not the BT.601 gray mean — for colored images the two differ
+    dc_bias = (float(r.mean()) + float(g.mean()) + float(b.mean())) / 3.0
+    # downsample_rgb (image_processing.c:344) subsamples the 2-D grid
+    # NxN with floor'd output dims (h//N x w//N)
+    rate = cfg.downsample_rate
+    nh, nw = r.shape[0] // rate, r.shape[1] // rate
+    rd = r[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+    gd = g[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+    bd = b[:nh * rate:rate, :nw * rate:rate].reshape(-1)
+    h, s, v = K.rgb2hsv(rd, gd, bd)
+    gi = (K.hist_bin_ids(h, s, v, cfg) if h.size
+          else np.array([], dtype=np.int64))
+    counts = np.bincount(gi, minlength=cfg.hist_cells).astype(np.int64)
+    pal = K.palette(h, s, v, cfg, g=gi, counts=counts)
+    prof = K.blur_profile_plane(gray, cfg, dc_bias=dc_bias)
+    peaks = K.spectral_peaks(prof, cfg)
+    return {
+        "height": int(gray.shape[0]),
+        "width": int(gray.shape[1]),
+        "rms_mean": rms_mean,
+        "rms_std": rms_std,
+        "mean_norm_value": float(s.mean()) if s.size else 0.0,
+        "hist_entropy": K.entropy(counts),
+        "palette": [[float(c) for c in row] for row in pal],
+        "spectral_peaks": [[float(a), float(m)] for a, m in peaks],
+        "sharpness_avg": K.sharpness_plane_avg(gray, cfg),
+        "sharpness_var": K.sharpness_plane_var(gray),
+    }
+
+
 def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                  mode: str = "real") -> DataFrame:
     """The reference's PRIMARY use case as a Spark operator: image ->
@@ -262,8 +304,6 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     (``src/interface.c:78-79``). Per-image cost is dominated
     by the rfft2 — inherently per-row work (images vary in size), Arrow-
     batched at the boundary like media_features; no shuffle anywhere."""
-    from . import kernels as K
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in IMAGE_REPORT_SCHEMA.fields]
         for pdf in batches:
@@ -280,43 +320,9 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         meta, mode)
                 except Exception as e:
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
-                gray = K.rgb2pgm(r, g, b)
-                rms_mean, rms_std = K.rms_stats(gray.reshape(-1))
-                # DC bias of the blur profile is the UNWEIGHTED average of
-                # the three full-res channel means (interface.c:78-79:
-                # avg = (Br+Bg+Bb)/3), not the BT.601 gray mean — for
-                # colored images the two differ
-                dc_bias = (float(r.mean()) + float(g.mean())
-                           + float(b.mean())) / 3.0
-                # downsample_rgb (image_processing.c:344) subsamples the 2-D
-                # grid NxN with floor'd output dims (h//N x w//N)
-                rate = cfg.downsample_rate
-                nh, nw = r.shape[0] // rate, r.shape[1] // rate
-                rd = r[:nh * rate:rate, :nw * rate:rate].reshape(-1)
-                gd = g[:nh * rate:rate, :nw * rate:rate].reshape(-1)
-                bd = b[:nh * rate:rate, :nw * rate:rate].reshape(-1)
-                h, s, v = K.rgb2hsv(rd, gd, bd)
-                gi = (K.hist_bin_ids(h, s, v, cfg) if h.size
-                      else np.array([], dtype=np.int64))
-                counts = np.bincount(gi, minlength=cfg.hist_cells) \
-                    .astype(np.int64)
-                pal = K.palette(h, s, v, cfg, g=gi, counts=counts)
-                prof = K.blur_profile_plane(gray, cfg, dc_bias=dc_bias)
-                peaks = K.spectral_peaks(prof, cfg)
-                out.append({
-                    "media_id": ids[i],
-                    "height": int(gray.shape[0]),
-                    "width": int(gray.shape[1]),
-                    "rms_mean": rms_mean,
-                    "rms_std": rms_std,
-                    "mean_norm_value": float(s.mean()) if s.size else 0.0,
-                    "hist_entropy": K.entropy(counts),
-                    "palette": [[float(c) for c in row] for row in pal],
-                    "spectral_peaks": [[float(a), float(m)]
-                                       for a, m in peaks],
-                    "sharpness_avg": K.sharpness_plane_avg(gray, cfg),
-                    "sharpness_var": K.sharpness_plane_var(gray),
-                })
+                rep = report_image_arrays(r, g, b, cfg)
+                rep["media_id"] = ids[i]
+                out.append(rep)
             yield pd.DataFrame(out, columns=names)
 
     cols = [f.name for f in MEDIA_SCHEMA.fields]
