@@ -138,6 +138,22 @@ def _ivf_assign_pandas(emb: DataFrame, centroids: np.ndarray,
     return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def _kmeans_unit(sample: np.ndarray, n_cells: int,
+                 iters: int = 5) -> np.ndarray:
+    """Deterministic spherical mini k-means over L2-normalized rows."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    cents = sample[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def ivf_centroids_from_sample(emb, n_cells: int = 8,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
@@ -150,18 +166,110 @@ def ivf_centroids_from_sample(emb, n_cells: int = 8,
     sample = np.array([list(r[vec_col]) for r in
                        emb.orderBy(id_col).limit(sample_rows).collect()],
                       dtype=np.float64)
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample / np.maximum(norms, 1e-12)
-    cents = sample[:n_cells].copy()
-    for _ in range(iters):
-        sims = sample @ cents.T
-        assign = np.argmax(sims, axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    return cents
+    return _kmeans_unit(sample, n_cells, iters)
+
+
+def choose_ann_index(emb: DataFrame, k: int = 10,
+                     recall_target: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 8, n_cells: int = 8,
+                     sample_rows: int = 512, n_queries: int = 8,
+                     max_probe: int = 16, seed: int = 42) -> dict:
+    """ANN index auto-selection: estimate neighbor hardness with a
+    sampled recall probe and choose sign-LSH (+ its n_probe) or IVF
+    (+ its n_probe).
+
+    The r4 recall sweep (BENCH/ann_recall_r4.json) showed each index
+    owns a regime: single/multi-probe LSH wins angular-close corpora
+    (near-duplicate embeddings) at a tiny scan fraction, while
+    data-adaptive IVF holds >=0.9 recall everywhere, including corpora
+    whose true neighbors sit near cos~0.6 where LSH bucket agreement
+    collapses. This helper packages that decision: on a BOUNDED
+    driver-side sample (``sample_rows`` rows — the same bounded-collect
+    budget as IVF centroid training) it computes exact top-k per probe
+    query, then simulates both indexes with the production primitives
+    (``hyperplanes``/``multiprobe_signatures`` and ``_kmeans_unit``) and
+    picks the cheapest configuration whose estimated recall@k meets
+    ``recall_target``; ties and misses fall back to IVF, the
+    sweep-proven robust default.
+
+    Returns a dict with the decision (``index``, ``n_probe``) plus the
+    full probe diagnostics (per-config recall and scan fractions, mean
+    true-neighbor cosine) so the choice is auditable."""
+    sample = np.array([list(r[vec_col]) for r in
+                       emb.orderBy(id_col).limit(sample_rows).collect()],
+                      dtype=np.float64)
+    n, dim = sample.shape
+    if n < 4 * k:
+        raise ValueError(
+            f"sample of {n} rows is too small to probe recall@{k}")
+    unit = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    qidx = list(range(min(n_queries, n)))
+    sims = unit[qidx] @ unit.T
+    true_topk = []
+    for row, qi in enumerate(qidx):
+        order = np.argsort(-sims[row], kind="stable")
+        true_topk.append([j for j in order.tolist() if j != qi][:k])
+    mean_neighbor_cos = float(np.mean(
+        [sims[row, tk].mean() for row, tk in enumerate(true_topk)]))
+
+    # --- LSH probe: production hyperplanes + multiprobe sequence ---
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = (sample @ planes.T) > 0
+    sigs = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+    lsh_probes = [p for p in (1, 2, 4, 8, 16) if p <= max_probe]
+    lsh_recall: dict[int, float] = {}
+    lsh_scan: dict[int, float] = {}
+    for np_ in lsh_probes:
+        rec = scan = 0.0
+        for row, qi in enumerate(qidx):
+            probe = set(multiprobe_signatures(
+                planes, sample[qi].tolist(), np_))
+            cand = np.isin(sigs, list(probe))
+            rec += np.mean([sigs[j] in probe for j in true_topk[row]])
+            scan += float(cand.mean())
+        lsh_recall[np_] = round(rec / len(qidx), 4)
+        lsh_scan[np_] = round(scan / len(qidx), 4)
+
+    # --- IVF probe: same spherical k-means as the real index ---
+    cents = _kmeans_unit(sample, n_cells)
+    assign = np.argmax(unit @ cents.T, axis=1)
+    ivf_probes = [p for p in (1, 2, 3) if p <= n_cells]
+    ivf_recall: dict[int, float] = {}
+    ivf_scan: dict[int, float] = {}
+    for np_ in ivf_probes:
+        rec = scan = 0.0
+        for row, qi in enumerate(qidx):
+            cells = np.argsort(-(unit[qi] @ cents.T), kind="stable")[:np_]
+            in_cells = np.isin(assign, cells)
+            rec += np.mean([bool(in_cells[j]) for j in true_topk[row]])
+            scan += float(in_cells.mean())
+        ivf_recall[np_] = round(rec / len(qidx), 4)
+        ivf_scan[np_] = round(scan / len(qidx), 4)
+
+    # --- decide: cheapest config meeting the target; IVF on a miss ---
+    candidates = []
+    for np_ in lsh_probes:
+        if lsh_recall[np_] >= recall_target:
+            candidates.append((lsh_scan[np_], 0, "lsh", np_,
+                               lsh_recall[np_]))
+    for np_ in ivf_probes:
+        if ivf_recall[np_] >= recall_target:
+            candidates.append((ivf_scan[np_], 1, "ivf", np_,
+                               ivf_recall[np_]))
+    if candidates:
+        candidates.sort()
+        _, _, index, n_probe, est = candidates[0]
+    else:   # nothing meets target on the sample: IVF at its best probe
+        n_probe = max(ivf_probes, key=lambda p: ivf_recall[p])
+        index, est = "ivf", ivf_recall[n_probe]
+    return {"index": index, "n_probe": n_probe,
+            "est_recall": est, "recall_target": recall_target,
+            "mean_neighbor_cosine": round(mean_neighbor_cos, 4),
+            "lsh_recall": lsh_recall, "lsh_scan_frac": lsh_scan,
+            "ivf_recall": ivf_recall, "ivf_scan_frac": ivf_scan,
+            "n_sample": n, "n_planes": n_planes, "n_cells": n_cells}
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
