@@ -478,10 +478,11 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_length_percentiles(spark, sf_dir):
-    """Exact discrete per-source n_tok percentiles via sorted collect_list
-    — ORACLE-PARITY FORM (exact, engine-identical). At 10^12 rows use
-    text.length_percentiles_approx (same output schema, mergeable
-    percentile_approx sketch, no per-group arrays)."""
+    """Exact discrete per-source n_tok percentiles — since r5 the exact
+    form is itself scale-safe (value-count groupBy + running count over
+    DISTINCT lengths; no collect_list, no whole-group window), so the
+    registered query IS the 10^12-row path. length_percentiles_approx
+    remains for single-shuffle sketched variants."""
     return text.length_percentiles(tokens_table(spark, sf_dir))
 
 

@@ -145,21 +145,39 @@ def length_percentiles(tokens_df: DataFrame, len_col: str = "n_tok",
                        group_col: str = "source",
                        qs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
     """EXACT discrete per-group length percentiles (lower-nearest-rank on
-    the sorted values). Materializes each group's full value list in one
-    aggregation buffer — fine up to ~10^7 rows/group, NOT the 10^12-row
-    path; use :func:`length_percentiles_approx` there. Kept because it is
-    engine-exact (DuckDB-oracle hash parity in the driver gate)."""
-    g = tokens_df.groupBy(group_col).agg(
-        F.sort_array(F.collect_list(len_col)).alias("arr"),
-        F.count("*").alias("n"))
+    the sorted multiset), in a SCALE-SAFE distributed form (r5 — the
+    registered query previously materialized each group's full value
+    list in one collect_list buffer, the engine's last scale-killer):
+
+    1. ``groupBy(group, len)`` value counts — map-side combinable, the
+       only pass over the big table;
+    2. running count over the DISTINCT lengths per group (window
+       partition size = distinct lengths, thousands at most — never the
+       group's row count);
+    3. percentile q = smallest length whose running count reaches rank
+       floor((n-1)*q)+1, via one min(when(...)) aggregation.
+
+    A group with 10^11 rows costs the same window memory as one with
+    10^3. Still engine-exact: DuckDB-oracle hash parity in the driver
+    gate is unchanged. For single-pass sketched percentiles (no second
+    shuffle) see :func:`length_percentiles_approx`."""
+    from pyspark.sql import Window
+
+    cnt = tokens_df.groupBy(group_col, len_col).agg(
+        F.count("*").alias("c"))
+    w = Window.partitionBy(group_col).orderBy(len_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cnt.withColumn("cum", F.sum("c").over(w)) \
+        .withColumn("n", F.sum("c").over(Window.partitionBy(group_col)))
 
     def pick(q):
-        idx = (F.floor((F.col("n") - 1) * q) + 1).cast("int")
-        return F.element_at("arr", idx)
+        rank = F.floor((F.col("n") - 1) * q) + 1
+        return F.min(F.when(F.col("cum") >= rank, F.col(len_col)))
 
     cols = [pick(q).alias(f"p{round(q * 100)}") for q in qs]
-    return g.select(group_col, F.col("n").alias("n_docs"), *cols) \
-            .orderBy(group_col)
+    return cum.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"), *cols) \
+        .orderBy(group_col)
 
 
 def length_percentiles_approx(tokens_df: DataFrame, len_col: str = "n_tok",
