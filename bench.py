@@ -294,7 +294,9 @@ def _image_corpus(n_distinct: int = 24):
         img = (((smooth[..., None] * (2 - blend) + noise * (blend + 1))
                 // 3) % 256).astype(np.uint8)
         if i % 4 == 3:
-            kind, payload = "png", png.encode_png(img)
+            # Paeth-filtered: real libpng output is adaptive-filter
+            # dominated, so filter-0 PNGs would flatter the decode rate
+            kind, payload = "png", png.encode_png(img, filter_type=4)
         elif i % 4 == 2:
             kind, payload = "jpeg_progressive", \
                 jpeg.encode_jpeg_progressive(img, quality=85)

@@ -53,17 +53,73 @@ def _chunks(data: bytes):
     raise ValueError("no IEND chunk")
 
 
+def _unfilter_wavefront(filt: np.ndarray, prev_row: np.ndarray,
+                        bpp: int, paeth: bool) -> np.ndarray:
+    """Reverse a RUN of consecutive Average/Paeth rows with an
+    anti-diagonal wavefront sweep. cell (row r, pixel j) depends on
+    (r, j-1), (r-1, j) and (r-1, j-1) — all on earlier diagonals d=r+j —
+    so each diagonal is computed as ONE vectorized step across min(m, w)
+    pixels x bpp lanes, instead of the per-byte scalar recurrence (the
+    r4 fallback: ~1 us/byte; real-world libpng output is dominated by
+    adaptive Paeth rows, so this is the realistic-PNG decode hot path)."""
+    m, stride = filt.shape
+    w = stride // bpp
+    fb = filt.reshape(m, w, bpp)
+    # R has a zero top row (replaced by prev_row) and a zero left column
+    # implementing the spec's x<bpp -> a=c=0 boundary for every lane
+    R = np.zeros((m + 1, w + 1, bpp), dtype=np.int32)
+    R[0, 1:] = prev_row.reshape(w, bpp)
+    for d in range(2, m + w + 1):
+        r_lo = max(1, d - w)
+        r_hi = min(m, d - 1)
+        r_idx = np.arange(r_lo, r_hi + 1)
+        j_idx = d - r_idx
+        a = R[r_idx, j_idx - 1]
+        b = R[r_idx - 1, j_idx]
+        x = fb[r_idx - 1, j_idx - 1]
+        if paeth:
+            c = R[r_idx - 1, j_idx - 1]
+            p = a + b - c
+            pa = np.abs(p - a)
+            pb = np.abs(p - b)
+            pc = np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, c))
+        else:
+            pred = (a + b) >> 1
+        R[r_idx, j_idx] = (x + pred) & 255
+    return R[1:, 1:].reshape(m, stride)
+
+
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filtering. raw = concat of (filter_byte + row)
-    per scanline; returns (h, w*bpp) uint8 of reconstructed bytes."""
+    per scanline; returns (h, w*bpp) uint8 of reconstructed bytes.
+    None/Up rows are vectorized directly, Sub rows via per-lane cumsum,
+    and maximal RUNS of Average/Paeth rows via the 2-D wavefront sweep
+    (no per-byte Python anywhere)."""
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     rows = raw.reshape(h, stride + 1)
+    fts = rows[:, 0]
+    if fts.max(initial=0) > 4:
+        bad = int(fts[fts > 4][0])
+        raise ValueError(f"unknown filter type {bad}")
     out = np.zeros((h, stride), dtype=np.uint8)
     zero = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft = int(rows[y, 0])
+    y = 0
+    while y < h:
+        ft = int(fts[y])
+        if ft in (3, 4):                    # Average/Paeth: batch the run
+            y2 = y + 1
+            while y2 < h and fts[y2] == ft:
+                y2 += 1
+            prev = out[y - 1].astype(np.int32) if y else zero
+            rec = _unfilter_wavefront(
+                rows[y:y2, 1:].astype(np.int32), prev, bpp, ft == 4)
+            out[y:y2] = rec.astype(np.uint8)
+            y = y2
+            continue
         line = rows[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else zero
         if ft == 0:                                   # None
@@ -72,26 +128,10 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
             # recon[x] = filt[x] + recon[x-bpp]; mod distributes over the
             # running sum, so cumsum-then-mod is exact
             rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
-        elif ft == 2:                                 # Up
+        else:                                         # Up
             rec = (line + prev) % 256
-        elif ft == 3:                                 # Average (left-dep)
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (line[x] + ((a + prev[x]) >> 1)) % 256
-        elif ft == 4:                                 # Paeth (left-dep)
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pred) % 256
-        else:
-            raise ValueError(f"unknown filter type {ft}")
         out[y] = rec.astype(np.uint8)
+        y += 1
     return out
 
 

@@ -116,6 +116,33 @@ def test_16bit_roundtrip(interlace):
     np.testing.assert_allclose(p["r"], (g16 >> 8) / 255.0)
 
 
+def test_mixed_adaptive_filter_stream():
+    """Real encoders (libpng) pick a filter PER ROW; the decoder's
+    run-batched wavefront path must reassemble a stream whose filter
+    types alternate every row — including runs of Average/Paeth between
+    other types — byte-exactly."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (20, 9, 3), dtype=np.uint8)
+    parts = []
+    prev = np.zeros(27, dtype=np.int32)
+    for y in range(20):
+        ftype = [0, 4, 3, 2, 4, 4, 1, 3, 3][y % 9]
+        row = img[y].reshape(-1).astype(np.int32)
+        blob = png._filter_rows(np.vstack([prev, row]), 3, ftype)
+        parts.append(blob[28:])             # drop the helper's first row
+        prev = row
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 9, 20, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(png.decode_png(data), img)
+
+
 def test_decode_rgb_contract():
     """decode_rgb matches the reference pil_image_to_image_rgb contract:
     planar float [0,1], gray expands to equal planes, alpha dropped."""
