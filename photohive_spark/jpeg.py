@@ -227,9 +227,20 @@ def _headers(sof_marker: int, h: int, w: int, nc: int,
             + (_dqt(1, qc) if nc == 3 else b"") + sof)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _emit_rst(bw: _BitWriter, n: int) -> None:
+    """Byte-align and place the RSTn marker for restart interval n."""
+    bw.flush()
+    bw.buf.append(0xFF)
+    bw.buf.append(0xD0 + (n % 8))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """(H, W), (H, W, 1) or (H, W, 3) uint8 -> baseline JPEG bytes
-    (4:4:4, restart-free). Lossy: round-trip PSNR, not equality."""
+    (4:4:4). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (resetting DC predictors) — mainly so the decoder's
+    restart machinery is testable from in-repo streams. Lossy:
+    round-trip PSNR, not equality."""
     comps, ql, qc, h, w, nc, brows, bcols = _quantized_blocks(arr, quality)
     dc_bits, dc_vals = _default_huff("dc")
     ac_bits, ac_vals = _default_huff("ac")
@@ -244,6 +255,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     preds = [0] * nc
     zzs = [c.tolist() for c in comps]       # python lists: fast scan loop
     for b in range(brows * bcols):
+        if restart_interval and b and b % restart_interval == 0:
+            _emit_rst(bw_, b // restart_interval - 1)
+            preds = [0] * nc
         for ci in range(nc):
             zz = zzs[ci][b]
             diff = zz[0] - preds[ci]
@@ -277,7 +291,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
     sos = _seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
-    return (_headers(0xC0, h, w, nc, ql, qc)
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return (_headers(0xC0, h, w, nc, ql, qc) + dri
             + _dht(0, 0, dc_bits, dc_vals) + _dht(1, 0, ac_bits, ac_vals)
             + sos + bytes(bw_.buf) + b"\xff\xd9")
 
@@ -307,7 +323,8 @@ class _ProgScanWriter:
         self.corr = []
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
+                            restart_interval: int = 0) -> bytes:
     """(H, W[, C]) uint8 -> progressive (SOF2) JPEG, 4:4:4. Scan script:
     DC first (Al=1) -> split-band AC first passes at Al=1 (bands 1..5
     and 6..63) -> AC refinement (Ah=1 -> Al=0) on band 1..63 -> DC
@@ -315,7 +332,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     and correction bits: every Annex-G decode path.
 
     Same quantized coefficients as encode_jpeg (shared
-    _quantized_blocks), so both files decode to IDENTICAL pixels."""
+    _quantized_blocks), so both files decode to IDENTICAL pixels.
+    ``restart_interval`` > 0 places RSTn markers every that many MCUs in
+    EVERY scan (DC predictors and EOB runs reset per segment) — the
+    in-repo stream that pins the decoder's progressive restart paths."""
     comps, ql, qc, h, w, nc, brows, bcols = _quantized_blocks(arr, quality)
     dc_bits, dc_vals = _default_huff("dc")
     ac_bits, ac_vals = _default_huff("ac_prog")
@@ -325,7 +345,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     zzs = [c.tolist() for c in comps]
 
     out = bytearray(_headers(0xC2, h, w, nc, ql, qc))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _dht(0, 0, dc_bits, dc_vals) + _dht(1, 0, ac_bits, ac_vals)
+    ri = restart_interval
 
     def sos(scomps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(scomps)])
@@ -339,6 +362,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     bw_ = _BitWriter()
     preds = [0] * nc
     for b in range(nb):
+        if ri and b and b % ri == 0:
+            _emit_rst(bw_, b // ri - 1)
+            preds = [0] * nc
         for ci in range(nc):
             v = zzs[ci][b][0] >> 1
             diff = v - preds[ci]
@@ -362,6 +388,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
             pw = _ProgScanWriter(bw_, ac_codes)
             zl = zzs[ci]
             for b in range(nb):
+                if ri and b and b % ri == 0:
+                    pw.flush_eobrun()
+                    _emit_rst(bw_, b // ri - 1)
                 zz = zl[b]
                 run = 0
                 for k in range(ss, se + 1):
@@ -397,6 +426,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         pw = _ProgScanWriter(bw_, ac_codes)
         zl = zzs[ci]
         for b in range(nb):
+            if ri and b and b % ri == 0:
+                pw.flush_eobrun()
+                _emit_rst(bw_, b // ri - 1)
             zz = zl[b]
             absv = [0] * 64
             eob = 0
@@ -446,6 +478,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     out += sos(list(range(nc)), 0, 0, 1, 0)
     bw_ = _BitWriter()
     for b in range(nb):
+        if ri and b and b % ri == 0:
+            _emit_rst(bw_, b // ri - 1)
         for ci in range(nc):
             bw_.emit(1, zzs[ci][b][0] & 1)
     bw_.flush()

@@ -158,6 +158,37 @@ def test_app14_transform_flag():
     assert np.abs(ident[:, :, 0].astype(float) - luma).max() <= 3.0
 
 
+@pytest.mark.parametrize("shape", [(17, 19, 3), (32, 32), (24, 40, 3)])
+def test_restart_interval_roundtrip(shape):
+    """DRI/RSTn streams from our own encoder: decode must equal the
+    restart-free decode exactly (restarts change framing, not data) for
+    BOTH baseline and progressive — pinning segment splitting, RSTn
+    sequence numbers, per-segment DC-predictor and EOBRUN resets."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    for ri in (1, 3, 5):
+        rb = jpeg.encode_jpeg(img, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in rb and b"\xff\xd0" in rb
+        np.testing.assert_array_equal(jpeg.decode_jpeg(rb), plain)
+        rp = jpeg.encode_jpeg_progressive(img, quality=90,
+                                          restart_interval=ri)
+        np.testing.assert_array_equal(jpeg.decode_jpeg(rp), plain)
+
+
+def test_restart_marker_sequence_validated():
+    """A dropped/renumbered restart marker must fail loudly, not resync
+    the remaining MCUs to the wrong offset."""
+    img = np.random.default_rng(8).integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8)
+    data = bytearray(jpeg.encode_jpeg(img, quality=90, restart_interval=2))
+    sos_at = bytes(data).index(b"\xff\xda")
+    rst_at = bytes(data).index(b"\xff\xd0", sos_at)   # first RST0
+    data[rst_at + 1] = 0xD3                           # wrong sequence
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg.decode_jpeg(bytes(data))
+
+
 def test_progressive_error_paths():
     """Annex-G validation stays loud: a baseline-shaped scan header
     inside a progressive frame, and a >1-bit approximation step, both
