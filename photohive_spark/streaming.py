@@ -227,6 +227,43 @@ def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
         *[F.col(f"_best.{c}").alias(c) for c in value_cols])
 
 
+def read_media_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of opaque-binary media rows (MEDIA_SCHEMA
+    parquet) — the incremental-ingest face of the image pipeline: newly
+    scraped/encoded images land as files and flow through the SAME
+    decode + report kernels as the batch path."""
+    from .multimodal import MEDIA_SCHEMA
+
+    return (spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def image_report_stream(media_stream: DataFrame,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        mode: str = "real") -> DataFrame:
+    """Streaming image_report: the batch operator is a stateless
+    Arrow-batched mapInPandas (no shuffle, no state), so it lifts to
+    Structured Streaming unchanged — batch and stream outputs are
+    row-for-row equal (pinned by tests/test_streaming.py). Unbounded
+    parallelism, no state store; real decode (PNG incl. Adam7/16-bit,
+    baseline + progressive JPEG) happens inside the stream's tasks."""
+    from .multimodal import image_report
+
+    return image_report(media_stream, cfg=cfg, mode=mode)
+
+
+def media_features_stream(media_stream: DataFrame,
+                          cfg: EngineConfig = DEFAULT_CONFIG,
+                          mode: str = "real") -> DataFrame:
+    """Streaming media_features (1-D sample-stream DSP features) — same
+    stateless lift as image_report_stream."""
+    from .multimodal import media_features
+
+    return media_features(media_stream, cfg=cfg, mode=mode)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a stream with availableNow into a memory sink (test harness)."""
     q = (stream_df.writeStream.format("memory").queryName(name)

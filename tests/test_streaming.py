@@ -363,3 +363,44 @@ def test_sessionize_stream_group_far_behind_watermark(spark, tmp_path):
     # the clamped timeout fires on the next batch -> the 1200s session
     # is emitted too (not stuck in state forever)
     assert (1, s(1200), s(1200), 1) in got, got
+
+
+def test_image_report_stream_equals_batch(spark, tmp_path):
+    """The image pipeline's incremental-ingest face: real mixed-codec
+    payloads (PNG incl. Adam7, baseline + progressive JPEG) arriving as
+    a file stream must produce row-for-row the SAME reports as the batch
+    operator — the stateless-lift guarantee."""
+    import numpy as np
+
+    from photohive_spark import jpeg, multimodal, png
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(9):
+        img = rng.integers(0, 256, (16 + 4 * i, 20, 3), dtype=np.uint8)
+        payload = [
+            lambda a: png.encode_png(a),
+            lambda a: png.encode_png(a, filter_type=4, interlace=True),
+            lambda a: jpeg.encode_jpeg(a, quality=92),
+            lambda a: jpeg.encode_jpeg_progressive(a, quality=92),
+        ][i % 4](img)
+        rows.append((f"s{i}", "image", bytearray(payload),
+                     img.shape[1], img.shape[0], None, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    src = str(tmp_path / "media_stream")
+    media.repartition(3).write.parquet(src)
+
+    stream = streaming.read_media_stream(spark, src, max_files_per_trigger=1)
+    streaming.run_to_memory(streaming.image_report_stream(stream),
+                            "img_stream")
+    got = {r.media_id: r
+           for r in spark.sql("select * from img_stream").collect()}
+    want = {r.media_id: r
+            for r in multimodal.image_report(
+                spark.read.parquet(src), mode="real").collect()}
+    assert set(got) == set(want) and len(got) == 9
+    for k in got:
+        assert got[k].rms_mean == want[k].rms_mean
+        assert got[k].hist_entropy == want[k].hist_entropy
+        assert got[k].sharpness_avg == want[k].sharpness_avg
+        assert got[k].palette == want[k].palette
