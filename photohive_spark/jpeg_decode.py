@@ -567,9 +567,20 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
     alut = _get_luts(huff, scan, need_dc=False)[0][1]
     cols_b = store.cols[c["id"]]
     nb_cols = nb[0]
-    flat = store.arr[c["id"]].reshape(-1)
+    arr2 = store.arr[c["id"]]
+    flat = arr2.reshape(-1)
     p1 = 1 << al
     m1 = -p1
+    # Each block is visited exactly once per scan, so the coefficients a
+    # block sees at visit time EQUAL the scan-start state — precompute
+    # every block's nonzero band positions/values in one vectorized pass
+    # instead of up to 63 numpy scalar reads per block (those reads
+    # dominated smooth-image EOB runs).
+    sub = arr2[:, ss:se + 1]
+    nzr, nzc = np.nonzero(sub)
+    ks_all = (nzc + ss).tolist()
+    vals_all = sub[nzr, nzc].tolist()
+    split = np.searchsorted(nzr, np.arange(arr2.shape[0] + 1)).tolist()
     eobrun = 0
     seg_i = -1
     W: list = []
@@ -584,16 +595,20 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
             W = _windows(d)
             bp = 0
             eobrun = 0
-        base = ((m // nb_cols) * cols_b + m % nb_cols) << 6
+        r_, c_ = divmod(m, nb_cols)
+        bi = r_ * cols_b + c_
+        base = bi * 64
+        ptr = split[bi]
+        ptr_end = split[bi + 1]
         if eobrun:
             eobrun -= 1
-            for k in range(ss, se + 1):
-                cv = flat.item(base + k)
-                if cv:
-                    bit = W[bp] >> 15
-                    bp += 1
-                    if bit and not (cv & p1):
-                        flat[base + k] = cv + (p1 if cv > 0 else m1)
+            for t in range(ptr, ptr_end):
+                if W[bp] >> 15:
+                    cv = vals_all[t]
+                    if not (cv & p1):
+                        flat[base + ks_all[t]] = cv + (p1 if cv > 0
+                                                       else m1)
+                bp += 1
             continue
         k = ss
         while k <= se:
@@ -609,13 +624,15 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
                 if r:
                     eobrun += W[bp] >> (16 - r)
                     bp += r
-                for kk in range(k, se + 1):
-                    cv = flat.item(base + kk)
-                    if cv:
-                        bit = W[bp] >> 15
-                        bp += 1
-                        if bit and not (cv & p1):
-                            flat[base + kk] = cv + (p1 if cv > 0 else m1)
+                for t in range(ptr, ptr_end):
+                    if ks_all[t] < k:
+                        continue
+                    if W[bp] >> 15:
+                        cv = vals_all[t]
+                        if not (cv & p1):
+                            flat[base + ks_all[t]] = cv + (p1 if cv > 0
+                                                           else m1)
+                    bp += 1
                 break
             if s == 0:                      # ZRL: 16 zero-history coefs
                 newval = 0
@@ -626,12 +643,13 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
                 newval = p1 if W[bp] >> 15 else m1
                 bp += 1
             while k <= se:
-                cv = flat.item(base + k)
-                if cv:
-                    bit = W[bp] >> 15
+                if ptr < ptr_end and ks_all[ptr] == k:  # nonzero history
+                    if W[bp] >> 15:
+                        cv = vals_all[ptr]
+                        if not (cv & p1):
+                            flat[base + k] = cv + (p1 if cv > 0 else m1)
                     bp += 1
-                    if bit and not (cv & p1):
-                        flat[base + k] = cv + (p1 if cv > 0 else m1)
+                    ptr += 1
                 else:
                     if r == 0:
                         break
