@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-``mode="real"`` REALLY decodes images (PNG and baseline JPEG, via the
-pure-stdlib codecs in png.py/jpeg.py, dispatched by magic bytes — no PIL
-needed) and audio (PCM WAV, via stdlib ``wave``); video remains stubbed
-(frame extraction genuinely needs libav, absent here) and raises
-NotImplementedError. The default deterministic fake derives a
-pseudo sample plane from the bytes (sha256-seeded) so plumbing tests are
-exact and payload-format-independent.
+``mode="real"`` REALLY decodes images (PNG incl. Adam7/16-bit and
+baseline+progressive JPEG, via the pure-stdlib codecs in png.py /
+jpeg_decode.py, dispatched by magic bytes — no PIL needed), audio (PCM
+WAV, via stdlib ``wave``) and video (MJPEG-in-AVI via video.py —
+frame-sampled; other codecs raise ValueError naming the codec, since
+H.264 etc. genuinely need libav, absent here). The default
+deterministic fake derives a pseudo sample plane from the bytes
+(sha256-seeded) so plumbing tests are exact and
+payload-format-independent.
 
 Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
 (``utils.py:30-46``) — bytes -> normalized float plane -> feature kernels;
@@ -62,14 +64,18 @@ def decode_stub(payload: bytes, kind: str, meta: dict, mode: str = "fake"
     if mode == "real":
         from . import png
         if kind == "image":
-            # PNG -> BT.601 gray plane in [0,1], flattened — the exact
-            # reference ingest (utils.py:30-46 -> rgb2pgm) sample stream
+            # PNG/JPEG -> BT.601 gray plane in [0,1], flattened — the
+            # exact reference ingest (utils.py:30-46 -> rgb2pgm) stream
             return png.decode_gray_samples(payload)
         if kind == "audio":
             return png.decode_wav_samples(payload)
-        raise NotImplementedError(
-            "real video decode requires libav — not in this container; "
-            "use mode='fake' to exercise the Spark plumbing")
+        # video: MJPEG-in-AVI decodes for real (video.py — RIFF walk +
+        # the in-repo JPEG decoder); other codecs raise ValueError
+        # naming the codec (H.264 etc. genuinely need libav, absent
+        # here). Sample stream = frame-sampled gray planes.
+        from . import video
+        return video.decode_video_gray_samples(
+            payload, n_sample=int(meta.get("meta_n_frames") or 4))
     if kind == "image":
         n = int(meta.get("meta_width") or 64) * int(meta.get("meta_height") or 64)
     elif kind == "audio":

@@ -1,0 +1,203 @@
+"""Pure-stdlib video ingest: MJPEG-in-AVI decode (struct + the in-repo
+JPEG decoder) — the container's first REAL video path.
+
+The sandbox has no libav, so general video (H.264 etc.) stays out of
+reach; but Motion-JPEG in an AVI container needs only RIFF chunk
+walking + per-frame JPEG decode, both of which this package already
+does from first principles. That turns the engine's last
+NotImplementedError into an honest, documented profile: MJPEG/AVI
+decodes for real, anything else raises ValueError NAMING the codec —
+fail loudly, never garbage frames.
+
+Surface:
+- :func:`parse_avi`     — container metadata + raw frame payloads;
+- :func:`decode_frames` — frame-sampled (H, W, 3) uint8 arrays;
+- :func:`encode_avi_mjpeg` — a minimal writer (frames -> AVI) so every
+  decoder path is round-trip-testable without external files;
+- multimodal.decode_stub(kind="video", mode="real") routes here: the
+  sampled frames' BT.601 gray planes, flattened and concatenated, form
+  the 1-D sample stream the DSP feature kernels consume (the same
+  contract as image/audio ingest).
+
+Scale note: like the image path, decode runs inside Arrow-batched
+``mapInPandas`` workers — per-row cost is the per-frame JPEG codec
+floor measured in BENCH/BASELINE.md; frame sampling bounds it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MJPEG_CODES = {b"MJPG", b"mjpg", b"dmb1", b"MJPA"}
+
+
+def _chunks(buf: bytes, pos: int, end: int):
+    """Walk RIFF chunks in buf[pos:end] -> (fourcc, body_start, body_len).
+    Chunks are word-aligned (odd sizes pad one byte)."""
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated AVI chunk {fourcc!r} ({size} bytes declared, "
+                f"{end - body} available)")
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def parse_avi(data: bytes) -> dict:
+    """AVI bytes -> {width, height, n_frames, fps, handler, frames:
+    [bytes, ...]} for the FIRST video stream. Non-AVI input and
+    non-MJPEG codecs raise ValueError (with the codec named)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/AVI signature")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
+    width = height = n_frames = 0
+    usec_per_frame = 0
+    handler = b"????"
+    compression = b"????"
+    vids_seen = False
+    vid_stream_no = None
+    frames: list[bytes] = []
+    stream_no = 0
+    for fourcc, body, size in _chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[body:body + 4]
+        if list_type == b"hdrl":
+            for f2, b2, s2 in _chunks(data, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 40:
+                    (usec_per_frame, _, _, _, n_frames, _, _, _,
+                     width, height) = struct.unpack(
+                        "<10I", data[b2:b2 + 40])
+                elif f2 == b"LIST" and data[b2:b2 + 4] == b"strl":
+                    fcc_type = None
+                    for f3, b3, s3 in _chunks(data, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and s3 >= 8:
+                            fcc_type = data[b3:b3 + 4]
+                            if fcc_type == b"vids" and not vids_seen:
+                                vids_seen = True
+                                vid_stream_no = stream_no
+                                handler = data[b3 + 4:b3 + 8]
+                        elif (f3 == b"strf" and s3 >= 40
+                              and fcc_type == b"vids"
+                              and vid_stream_no == stream_no):
+                            compression = data[b3 + 16:b3 + 20]
+                    stream_no += 1
+        elif list_type == b"movi":
+            for f2, b2, s2 in _chunks(data, body + 4, body + size):
+                # '##dc'/'##db' = compressed/uncompressed frame of
+                # stream ##
+                if f2[2:4] in (b"dc", b"db"):
+                    try:
+                        sn = int(f2[:2])
+                    except ValueError:
+                        continue
+                    if vid_stream_no is not None and sn == vid_stream_no:
+                        frames.append(data[b2:b2 + s2])
+    if not vids_seen:
+        raise ValueError("AVI contains no video stream")
+    codec = handler if handler in _MJPEG_CODES else compression
+    if codec not in _MJPEG_CODES:
+        raise ValueError(
+            f"unsupported AVI video codec {handler!r}/{compression!r} — "
+            "only MJPEG decodes without libav (absent in this "
+            "environment)")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return {"width": width, "height": height,
+            "n_frames": n_frames or len(frames), "fps": fps,
+            "handler": handler, "frames": frames}
+
+
+def sample_indices(n_frames: int, n_sample: int) -> list[int]:
+    """Evenly-spaced frame indices (first frame always included)."""
+    if n_frames <= 0:
+        return []
+    n_sample = max(1, min(n_sample, n_frames))
+    return sorted({int(round(i * (n_frames - 1) / max(1, n_sample - 1)))
+                   for i in range(n_sample)})
+
+
+def decode_frames(data: bytes, n_sample: int | None = None
+                  ) -> list[np.ndarray]:
+    """AVI bytes -> list of (H, W, 3) uint8 RGB frames. ``n_sample``
+    picks evenly-spaced frames (the training-pipeline frame-sampling
+    primitive); None decodes every frame."""
+    from . import jpeg
+
+    meta = parse_avi(data)
+    frames = meta["frames"]
+    idxs = (range(len(frames)) if n_sample is None
+            else sample_indices(len(frames), n_sample))
+    out = []
+    for i in idxs:
+        px = jpeg.decode_jpeg(frames[i])
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        out.append(px)
+    return out
+
+
+def decode_video_gray_samples(data: bytes, n_sample: int = 4
+                              ) -> np.ndarray:
+    """AVI bytes -> 1-D float64 sample stream in [0,1]: the sampled
+    frames' BT.601 gray planes, flattened and concatenated — the same
+    contract image/audio ingest feeds the DSP kernels."""
+    from .kernels import rgb2pgm
+
+    parts = []
+    for px in decode_frames(data, n_sample=n_sample):
+        scale = 1.0 / 255.0
+        r = px[:, :, 0].astype(np.float64) * scale
+        g = px[:, :, 1].astype(np.float64) * scale
+        b = px[:, :, 2].astype(np.float64) * scale
+        parts.append(rgb2pgm(r, g, b).reshape(-1))
+    if not parts:
+        raise ValueError("AVI has no decodable frames")
+    return np.concatenate(parts)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
+                     quality: int = 90) -> bytes:
+    """(H, W, 3)/(H, W) uint8 frames -> MJPEG AVI bytes (minimal
+    writer: avih + one vids strl + movi; no idx1 — players tolerate it
+    and the parser walks movi directly). Exists so every decoder path
+    has an in-repo round-trip."""
+    from . import jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        payloads.append(jpeg.encode_jpeg(f, quality=quality))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    uspf = int(round(1e6 / fps)) if fps > 0 else 0
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack("<10I4I", uspf, max_bytes * int(round(fps or 1)),
+                       0, 0x10, len(payloads), 0, 1, max_bytes, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<3I", 0, 0, 0)
+            + struct.pack("<IIiII", 1, int(round(fps or 1)), 0,
+                          len(payloads), max_bytes)
+            + struct.pack("<iI", -1, 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -126,8 +126,9 @@ def test_real_decode_paths():
         multimodal.decode_stub(b"x", "image", {}, mode="real")
     with pytest.raises(Exception):
         multimodal.decode_stub(b"x", "audio", {}, mode="real")
-    # video genuinely needs libav — still a documented stub
-    with pytest.raises(NotImplementedError):
+    # video: MJPEG/AVI decodes for real since r5 (video.py); garbage
+    # bytes and non-MJPEG codecs fail loudly with ValueError
+    with pytest.raises(ValueError, match="RIFF"):
         multimodal.decode_stub(b"x", "video", {}, mode="real")
 
 
