@@ -2,10 +2,11 @@
 
 The container has no PIL/libav, but PNG's format is fully decodable with
 ``zlib`` alone, so ``decode="real"`` does not need to stay a stub for
-images: this module implements a spec-complete decoder for 8- and 16-bit
-depths (16-bit reduces to the high byte), non-interlaced AND Adam7
-interlaced, gray / RGB / palette / gray+alpha / RGBA, all five scanline
-filters — plus a matching encoder (same profiles) for tests and sinks.
+images: this module implements a spec-complete decoder for EVERY legal
+bit depth (1/2/4-bit gray+palette, 8-bit, 16-bit reducing to the high
+byte), non-interlaced AND Adam7 interlaced, gray / RGB / palette /
+gray+alpha / RGBA, all five scanline filters — plus a matching encoder
+for tests and sinks.
 
 Reference analog: the PIL ingest boundary ``pil_image_to_image_rgb``
 (reference ``utils.py:30-46``) — encoded bytes -> per-channel float
@@ -91,13 +92,18 @@ def _unfilter_wavefront(filt: np.ndarray, prev_row: np.ndarray,
     return R[1:, 1:].reshape(m, stride)
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int,
+              stride: int | None = None) -> np.ndarray:
     """Reverse PNG scanline filtering. raw = concat of (filter_byte + row)
-    per scanline; returns (h, w*bpp) uint8 of reconstructed bytes.
-    None/Up rows are vectorized directly, Sub rows via per-lane cumsum,
-    and maximal RUNS of Average/Paeth rows via the 2-D wavefront sweep
-    (no per-byte Python anywhere)."""
-    stride = w * bpp
+    per scanline; returns (h, stride) uint8 of reconstructed bytes.
+    ``bpp`` is the filter's left-neighbor BYTE distance (1 for sub-byte
+    depths per the spec); ``stride`` the scanline byte width (defaults
+    to w*bpp — the whole-byte-sample case). None/Up rows are vectorized
+    directly, Sub rows via per-lane cumsum, and maximal RUNS of
+    Average/Paeth rows via the 2-D wavefront sweep (no per-byte Python
+    anywhere)."""
+    if stride is None:
+        stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     rows = raw.reshape(h, stride + 1)
@@ -127,7 +133,8 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
         elif ft == 1:                                 # Sub: per-lane cumsum
             # recon[x] = filt[x] + recon[x-bpp]; mod distributes over the
             # running sum, so cumsum-then-mod is exact
-            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0) \
+                .reshape(stride) % 256
         else:                                         # Up
             rec = (line + prev) % 256
         out[y] = rec.astype(np.uint8)
@@ -162,12 +169,16 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise ValueError(f"unsupported bit depth {depth} (only 8/16)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported bit depth {depth}")
     if ctype not in _CHANNELS:
         raise ValueError(f"unknown color type {ctype}")
     if ctype == 3 and depth == 16:
         raise ValueError("palette images cannot be 16-bit")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"bit depth {depth} is only valid for grayscale/palette "
+            f"(color type {ctype})")
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
     if interlace not in (0, 1):
@@ -175,27 +186,50 @@ def decode_png(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("zero-dimension image")
     nch = _CHANNELS[ctype]
-    bypp = nch * (depth // 8)                 # filter distance is BYTES
+    # filter left-distance is whole BYTES (1 for sub-byte depths)
+    bypp = max(1, nch * (depth // 8))
+
+    def sbytes(width: int) -> int:            # scanline byte width
+        return (width * depth * nch + 7) // 8
+
+    def to_samples(byts: np.ndarray, nrows: int, width: int) -> np.ndarray:
+        """(nrows, sbytes(width)) bytes -> (nrows, width, nch) uint8
+        samples (16-bit reduces to the high byte; sub-byte depths unpack
+        MSB-first)."""
+        if depth == 8:
+            return byts.reshape(nrows, width, nch)
+        if depth == 16:
+            return np.ascontiguousarray(
+                byts.reshape(nrows, width, nch, 2)[:, :, :, 0])
+        bits = np.unpackbits(byts, axis=1)[:, :width * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(nrows, width, depth) * weights) \
+            .sum(axis=2).astype(np.uint8)
+        return vals[:, :, None]
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
-        px = _unfilter(raw, h, w, bypp).reshape(h, w, bypp)
+        st = sbytes(w)
+        px = to_samples(_unfilter(raw, h, w, bypp, stride=st), h, w)
     else:
-        px = np.zeros((h, w, bypp), dtype=np.uint8)
+        px = np.zeros((h, w, nch), dtype=np.uint8)
         pos = 0
         for xs, ys, xst, yst in _ADAM7:
             pw = (w - xs + xst - 1) // xst
             ph = (h - ys + yst - 1) // yst
             if pw <= 0 or ph <= 0:            # pass empty for small dims
                 continue
-            need = ph * (pw * bypp + 1)
-            sub = _unfilter(raw[pos:pos + need], ph, pw, bypp)
-            px[ys::yst, xs::xst] = sub.reshape(ph, pw, bypp)
+            st = sbytes(pw)
+            need = ph * (st + 1)
+            sub = _unfilter(raw[pos:pos + need], ph, pw, bypp, stride=st)
+            px[ys::yst, xs::xst] = to_samples(sub, ph, pw)
             pos += need
         if pos != len(raw):
             raise ValueError(
                 "IDAT length does not match Adam7 pass layout")
-    if depth == 16:
-        px = np.ascontiguousarray(px.reshape(h, w, nch, 2)[:, :, :, 0])
+    if depth < 8 and ctype == 0:
+        # expand to full 8-bit range: 255/(2^d - 1) is integral for 1/2/4
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
@@ -242,12 +276,14 @@ def _filter_rows(flat: np.ndarray, bypp: int, filter_type: int) -> bytes:
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, depth: int | None = None) -> bytes:
     """(H, W) or (H, W, C) uint8 (or uint16 -> 16-bit depth) -> PNG
     bytes. C in {1,2,3,4} maps to gray / gray+alpha / RGB / RGBA.
     ``filter_type`` applies one scanline filter to every row (0..4);
-    ``interlace=True`` writes Adam7 passes. Non-default values exist
-    mainly so tests can exercise every decoder path via round-trip."""
+    ``interlace=True`` writes Adam7 passes; ``depth`` in {1,2,4} packs a
+    single-channel array of values < 2^depth as sub-byte grayscale.
+    Non-default values exist mainly so tests can exercise every decoder
+    path via round-trip."""
     a = np.asarray(arr)
     depth16 = a.dtype == np.uint16
     if not depth16:
@@ -255,11 +291,29 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6,
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
+    if depth is not None and depth < 8:
+        if c != 1 or depth16 or depth not in (1, 2, 4):
+            raise ValueError(
+                "sub-byte depth needs a single-channel uint8 array and "
+                "depth in {1,2,4}")
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"values exceed {depth}-bit range")
+    else:
+        depth = 16 if depth16 else 8
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bypp = c * (2 if depth16 else 1)
+    bypp = max(1, c * (depth // 8))
 
     def row_bytes(sub: np.ndarray) -> np.ndarray:
         ph, pw = sub.shape[:2]
+        if depth < 8:
+            v = np.ascontiguousarray(sub[:, :, 0])
+            shifts = np.arange(depth - 1, -1, -1)
+            bits = ((v[:, :, None] >> shifts) & 1).astype(np.uint8) \
+                .reshape(ph, pw * depth)
+            # packbits zero-pads the row's trailing low-order bits — the
+            # spec's required padding for sub-byte scanlines
+            b = np.packbits(bits, axis=1)
+            return b.astype(np.int32)
         if depth16:
             b = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
         else:
@@ -281,7 +335,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6,
         return (struct.pack(">I", len(body_)) + typ + body_
                 + struct.pack(">I", zlib.crc32(typ + body_) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 16 if depth16 else 8, ctype,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype,
                        0, 0, 1 if interlace else 0)
     idat = zlib.compress(body, level)
     return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \

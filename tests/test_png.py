@@ -68,18 +68,25 @@ def test_error_paths():
     bad[idat_at] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         png.decode_png(bytes(bad))
-    # sub-8-bit depth rejected loudly (16-bit is supported since r5)
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # spec-invalid depth rejected loudly (1/2/4/8/16 all supported r5)
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
 
     def chunk(typ, body):
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
 
-    data4 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+    data3 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr3)
              + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
              + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(data4)
+        png.decode_png(data3)
+    # sub-byte depth on a truecolor type is invalid
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    data_bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_bad)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="grayscale/palette"):
+        png.decode_png(data_bad)
 
 
 @pytest.mark.parametrize("channels", [1, 3, 4])
@@ -98,6 +105,43 @@ def test_adam7_roundtrip(channels, filter_type):
     small = rng.integers(0, 256, (3, 2, channels), dtype=np.uint8)
     np.testing.assert_array_equal(
         png.decode_png(png.encode_png(small, interlace=True)), small)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_subbyte_gray_roundtrip(depth, interlace):
+    """1/2/4-bit grayscale (the web-icon profile): filters run at 1-byte
+    distance over packed scanlines with zero-padded row tails; decode
+    expands to the full 8-bit range (255/(2^d - 1) per level)."""
+    rng = np.random.default_rng(depth)
+    vals = rng.integers(0, 1 << depth, (13, 11), dtype=np.uint8)
+    data = png.encode_png(vals, filter_type=2, depth=depth,
+                          interlace=interlace)
+    assert data[8 + 8 + 8] == depth          # IHDR depth byte
+    out = png.decode_png(data)
+    np.testing.assert_array_equal(
+        out[:, :, 0], vals * (255 // ((1 << depth) - 1)))
+
+
+def test_4bit_palette_decode():
+    """Hand-built 4-bit palette image: two indices per byte, high nibble
+    first, zero-padded odd-width rows."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]],
+                   dtype=np.uint8)
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    # 3x2 image, indices [[0,1,2],[3,0,1]] -> rows 0x01 0x20 / 0x30 0x10
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    scan = b"\x00" + bytes([0x01, 0x20]) + b"\x00" + bytes([0x30, 0x10])
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    out = png.decode_png(data)
+    np.testing.assert_array_equal(
+        out, pal[np.array([[0, 1, 2], [3, 0, 1]])])
 
 
 @pytest.mark.parametrize("interlace", [False, True])
