@@ -403,11 +403,15 @@ def decode_wav_samples(data: bytes) -> np.ndarray:
 
 
 def decode_image_rgb(data: bytes) -> dict[str, np.ndarray]:
-    """Format-sniffing image decode: PNG or baseline JPEG by magic bytes
-    -> the planar float RGB contract of decode_rgb. This is the
-    ``decode="real"`` entry multimodal uses, mirroring the reference's
-    PIL boundary accepting any decodable format (utils.py:30-46)."""
+    """Format-sniffing image decode: PNG, JPEG (baseline+progressive) or
+    GIF by magic bytes -> the planar float RGB contract of decode_rgb.
+    This is the ``decode="real"`` entry multimodal uses, mirroring the
+    reference's PIL boundary accepting any decodable format
+    (utils.py:30-46)."""
     if data[:2] == b"\xff\xd8":
         from . import jpeg
         return jpeg.decode_rgb(data)
+    if data[:4] == b"GIF8":
+        from . import gif
+        return gif.decode_rgb(data)
     return decode_rgb(data)
