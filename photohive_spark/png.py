@@ -414,4 +414,7 @@ def decode_image_rgb(data: bytes) -> dict[str, np.ndarray]:
     if data[:4] == b"GIF8":
         from . import gif
         return gif.decode_rgb(data)
+    if data[:2] == b"BM":
+        from . import bmp
+        return bmp.decode_rgb(data)
     return decode_rgb(data)

@@ -124,11 +124,19 @@ def sample_indices(n_frames: int, n_sample: int) -> list[int]:
 
 def decode_frames(data: bytes, n_sample: int | None = None
                   ) -> list[np.ndarray]:
-    """AVI bytes -> list of (H, W, 3) uint8 RGB frames. ``n_sample``
-    picks evenly-spaced frames (the training-pipeline frame-sampling
-    primitive); None decodes every frame."""
+    """Video bytes (MJPEG-AVI, or an animated GIF — the other
+    self-contained web motion format) -> list of (H, W, 3) uint8 RGB
+    frames. ``n_sample`` picks evenly-spaced frames (the
+    training-pipeline frame-sampling primitive); None decodes every
+    frame."""
     from . import jpeg
 
+    if data[:4] == b"GIF8":
+        from . import gif
+        frames = gif.decode_gif(data)["frames"]
+        idxs = (range(len(frames)) if n_sample is None
+                else sample_indices(len(frames), n_sample))
+        return [frames[i] for i in idxs]
     meta = parse_avi(data)
     frames = meta["frames"]
     idxs = (range(len(frames)) if n_sample is None

@@ -70,3 +70,26 @@ def test_video_through_spark_media_features(spark):
     assert feat.n_samples == len(x)
     assert feat.rms_mean == pytest.approx(mean, rel=1e-12)
     assert feat.rms_std == pytest.approx(std, rel=1e-12)
+
+
+def test_animated_gif_as_video(spark):
+    """Animated GIFs ride the same frame-sampled video contract as
+    MJPEG-AVI (kind='video', mode='real')."""
+    from photohive_spark import gif
+    from photohive_spark import kernels as K
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (10, 14), dtype=np.uint8)
+              for _ in range(6)]
+    data = gif.encode_gif(frames, palette=pal)
+    decoded = video.decode_frames(data, n_sample=3)
+    assert len(decoded) == 3 and decoded[0].shape == (10, 14, 3)
+    x = video.decode_video_gray_samples(data, n_sample=3)
+    assert x.shape == (3 * 10 * 14,)
+
+    rows = [("gv", "video", bytearray(data), None, None, None, 3)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.media_features(media, mode="real").collect()[0]
+    assert feat.n_samples == len(x)
+    assert feat.rms_mean == pytest.approx(K.rms_stats(x)[0], rel=1e-12)
