@@ -771,6 +771,36 @@ def q_image_report(spark, sf_dir):
         _digest("spectral_peaks").alias("peaks_digest"))
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual-hash image dedup end-to-end on REAL images: the
+    image_report corpus (24 deterministic PNG/JPEG payloads) plus each
+    image's JPEG re-encode -> 64-bit pHash -> hamming banding; every
+    (original, re-encode) pair must surface as a near-dup. Rows-only
+    (DCT hashes have no SQL form); invariance + banding==bruteforce are
+    pytest-pinned (tests/test_phash.py)."""
+    import numpy as np
+
+    from photohive_spark import dedup, jpeg, multimodal, png
+
+    rows = []
+    for i in range(12):
+        rng = np.random.default_rng(1000 + i)
+        hh, ww = 16 + (i % 4) * 8, 24
+        grad = (np.arange(ww) * (3 + i)).astype(np.int64) % 256
+        img = ((rng.integers(0, 256, (hh, ww, 3)) + grad[None, :, None])
+               % 256).astype(np.uint8)
+        rows.append((f"img{i:02d}", "image", png.encode_png(img),
+                     ww, hh, None, None))
+        rows.append((f"img{i:02d}_re", "image",
+                     jpeg.encode_jpeg(img, quality=92), ww, hh, None,
+                     None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = multimodal.image_phash(media, mode="real")
+    pairs = dedup.hamming_pairs(hashes, "phash", "media_id",
+                                max_hamming=7, bands=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most the first ~50 entries
     # (round 2 registered 52 and exactly the first 50 got CORRECTNESS rows,
@@ -851,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_features_digest": q_extract_features_digest,
         "media_features": q_media_features,
         "image_report": q_image_report,
+        "image_phash": q_image_phash,
     }
 
 

@@ -440,26 +440,39 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     uniform band values (hash bits) mean no skew; same shape as MinHash-LSH
     banding but with a 1-word signature.
     """
+    sim = simhash(docs, text_col, id_col, bits, hash_fn)
+    return hamming_pairs(sim, "simhash", id_col, max_hamming, bands, bits)
+
+
+def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
+                  max_hamming: int, bands: int,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Generic hamming-distance near-dup pairs over ANY bigint hash
+    column (SimHash text signatures, pHash image signatures, ...) via
+    pigeonhole banding: the ``bits``-bit hash splits into ``bands``
+    equal bands; any pair within hamming ``bands - 1`` shares at least
+    one identical band, so candidates = pairs sharing a (band, value)
+    key — never an all-pairs comparison. Exact verification =
+    bit_count(xor), all JVM-side."""
     if max_hamming >= bands:
         raise ValueError(f"pigeonhole soundness needs max_hamming < bands "
                          f"({max_hamming} >= {bands})")
     width = bits // bands
     mask = (1 << width) - 1
-    sim = simhash(docs, text_col, id_col, bits, hash_fn)
-    keyed = (sim.select(
-        id_col, "simhash",
+    keyed = (hashed.select(
+        id_col, hash_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", b * width)
+                     F.shiftright(hash_col, b * width)
                       .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("k"))
-        .select(id_col, "simhash", "k.band", "k.bval"))
+        .select(id_col, hash_col, "k.band", "k.bval"))
     cand = (keyed.alias("x").join(keyed.alias("y"), on=["band", "bval"])
             .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
                     F.col(f"y.{id_col}").alias("id_b"),
-                    F.bit_count(F.col("x.simhash")
-                                .bitwiseXOR(F.col("y.simhash")))
+                    F.bit_count(F.col(f"x.{hash_col}")
+                                .bitwiseXOR(F.col(f"y.{hash_col}")))
                      .alias("hamming"))
             .distinct())
     return cand.where(F.col("hamming") <= max_hamming)

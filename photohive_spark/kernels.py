@@ -886,3 +886,56 @@ def extract_features(tokens: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG,
         "sharpness": sharpness_rois(x, rois),
         "sharpness_avg": sharpness_avg(x, cfg),
     }
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (training-data image dedup; engine addition — the
+# reference has no multi-image operators)
+# ---------------------------------------------------------------------------
+
+def resize_area(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average resize (box filter over the integer
+    bin grid) — reduceat along each axis, fully vectorized. Inputs
+    smaller than the target are nearest-upsampled first."""
+    p = np.asarray(plane, dtype=np.float64)
+    h, w = p.shape
+    if h < out_h:
+        p = p[(np.arange(out_h) * h) // out_h]
+        h = out_h
+    if w < out_w:
+        p = p[:, (np.arange(out_w) * w) // out_w]
+        w = out_w
+    re = (np.arange(out_h + 1) * h) // out_h
+    p = np.add.reduceat(p, re[:-1], axis=0) / np.diff(re)[:, None]
+    ce = (np.arange(out_w + 1) * w) // out_w
+    return np.add.reduceat(p, ce[:-1], axis=1) / np.diff(ce)[None, :]
+
+
+_DCT32 = None
+
+
+def phash_plane(gray: np.ndarray, hash_size: int = 8,
+                highfreq_factor: int = 4) -> int:
+    """64-bit perceptual hash of a gray plane (the standard pHash
+    construction, public knowledge): area-resize to 32x32, 2-D
+    orthonormal DCT-II, keep the top-left ``hash_size`` x ``hash_size``
+    low-frequency block, threshold each coefficient against the block
+    MEDIAN. Robust to re-encoding/resizing/small edits — the image-dedup
+    signature; hamming distance over it measures perceptual change.
+    Returned as a SIGNED 64-bit int (Spark LongType-safe)."""
+    global _DCT32
+    n = hash_size * highfreq_factor
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        m = np.zeros((n, n))
+        for k in range(n):
+            for j in range(n):
+                m[k, j] = np.cos((2 * j + 1) * k * np.pi / (2.0 * n))
+        m *= np.sqrt(2.0 / n)
+        m[0, :] = 1.0 / np.sqrt(n)
+        _DCT32 = m
+    small = resize_area(np.asarray(gray, dtype=np.float64), n, n)
+    coef = _DCT32 @ small @ _DCT32.T
+    low = coef[:hash_size, :hash_size]
+    bits = (low > np.median(low)).reshape(-1)
+    packed = np.packbits(bits.astype(np.uint8)).tobytes()
+    return int.from_bytes(packed, "big", signed=True)

@@ -221,6 +221,57 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
     return media.select(*cols).mapInPandas(run, IMAGE_DECODE_STATS_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+])
+
+
+def image_phash(media: DataFrame, mode: str = "real") -> DataFrame:
+    """REAL decode -> 64-bit perceptual hash per image
+    (kernels.phash_plane: 32x32 area-resize -> DCT -> median-threshold
+    low-frequency block). THE image-dedup signature for training
+    corpora: re-encodes, resizes and small edits land within a few
+    hamming bits, so ``dedup.hamming_pairs(df, "phash", ...)`` finds
+    visual near-duplicates with pigeonhole banding — never all-pairs,
+    the same 10^12-row shape as the text SimHash path. Arrow-batched
+    no-shuffle mapInPandas like the other image operators."""
+    from . import kernels as K
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in PHASH_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            metas = {k: pdf[k].tolist() for k in _META_KEYS} \
+                if mode != "real" else None
+            ids = pdf["media_id"].tolist()
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                meta = ({k: _meta_val(metas[k][i]) for k in _META_KEYS}
+                        if metas else {})
+                try:
+                    r, g, b = _image_planes(
+                        b"" if payload is None else bytes(payload),
+                        meta, mode)
+                except Exception as e:
+                    raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
+                gray = K.rgb2pgm(r, g, b)
+                out.append({
+                    "media_id": ids[i],
+                    "phash": K.phash_plane(gray),
+                    "height": int(gray.shape[0]),
+                    "width": int(gray.shape[1]),
+                })
+            yield pd.DataFrame(out, columns=names)
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields] if mode != "real" \
+        else ["media_id", "payload"]
+    return media.select(*cols).mapInPandas(run, PHASH_SCHEMA)
+
+
 IMAGE_REPORT_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("height", T.IntegerType()),
