@@ -95,24 +95,37 @@ def _meta_val(v):
     return int(v)
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', "
+                         f"got {on_error!r}")
+
+
 def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                   mode: str = "fake") -> DataFrame:
+                   mode: str = "fake",
+                   on_error: str = "fail") -> DataFrame:
     """binary payload -> DSP features, Arrow-batched. Same no-shuffle map
     shape as engine.extract_features_df.
 
     Batch-vectorized: the (by-necessity per-row) decode fills a list of
     sample arrays, then rows are grouped by decoded length and each group
     runs as ONE stacked numpy computation (batch_kernels.signal_stats_batch)
-    — no per-row pandas (r1's iterrows anti-pattern removed)."""
+    — no per-row pandas (r1's iterrows anti-pattern removed).
+
+    ``on_error``: 'fail' (default) raises naming the offending row;
+    'skip' DROPS undecodable rows — the scraped-corpus production mode
+    (at 10^12 rows corrupt payloads are a certainty, and one must not
+    kill the job; count output vs input rows to monitor the drop rate)."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .batch_kernels import length_groups, signal_stats_batch
         names = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
         for pdf in batches:
-            n_rows = len(pdf)
             kinds = pdf["kind"].tolist()
             metas = {k: pdf[k].tolist() for k in _META_KEYS}
             xs = []
+            keep: list[int] = []
             ids = pdf["media_id"].tolist()
             for i, payload in enumerate(pdf["payload"].tolist()):
                 meta = {k: _meta_val(metas[k][i]) for k in _META_KEYS}
@@ -123,13 +136,19 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                     xs.append(decode_stub(
                         b"" if payload is None else bytes(payload),
                         kinds[i], meta, mode))
+                    keep.append(i)
                 except Exception as e:
+                    if on_error == "skip":
+                        continue
                     # RuntimeError, not type(e): exception classes with
                     # non-string constructors (UnicodeDecodeError etc.)
                     # would crash the wrapper itself
                     raise RuntimeError(
                         f"media_id={ids[i]!r} kind={kinds[i]!r}: {e}") from e
 
+            if not keep:
+                continue
+            n_rows = len(keep)
             rms_mean = np.zeros(n_rows)
             rms_std = np.zeros(n_rows)
             sh_avg = np.zeros(n_rows)
@@ -143,8 +162,8 @@ def media_features(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                     bands[i] = st["spectrum_bands"][pos].tolist()
 
             yield pd.DataFrame({
-                "media_id": pdf["media_id"].to_numpy(),
-                "kind": pdf["kind"].to_numpy(),
+                "media_id": pdf["media_id"].to_numpy()[keep],
+                "kind": pdf["kind"].to_numpy()[keep],
                 "n_samples": np.array([len(x) for x in xs], dtype=np.int32),
                 "rms_mean": rms_mean,
                 "rms_std": rms_std,
@@ -168,7 +187,8 @@ IMAGE_DECODE_STATS_SCHEMA = T.StructType([
 ])
 
 
-def image_decode_stats(media: DataFrame) -> DataFrame:
+def image_decode_stats(media: DataFrame,
+                       on_error: str = "fail") -> DataFrame:
     """REAL image decode -> SQL-expressible per-image statistics: the
     exact integer pixel checksum sum(r+g+b) (any decode defect breaks it
     bit-for-bit), BT.601 gray mean/std (``get_rgb_statistics``,
@@ -176,12 +196,15 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
     with the reference's MAX_SATURATION/MAX_VALUE clamps
     (``src/image_processing.c:372-417``).
 
+    ``on_error='skip'`` drops undecodable rows (scraped-corpus mode).
+
     This is the driver-oracle-checkable face of the real decode path:
     for losslessly-encoded payloads (PNG, any profile) the decoded
     planes equal the generator formula, so a DuckDB oracle can recompute
     every output from first principles — pinning decode -> kernel math
     in the correctness gate, not just in pytest. Same Arrow-batched
     no-shuffle mapInPandas shape as image_report."""
+    _check_on_error(on_error)
     from . import kernels as K
     from . import png
 
@@ -197,6 +220,8 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
                     p = png.decode_image_rgb(
                         b"" if payload is None else bytes(payload))
                 except Exception as e:
+                    if on_error == "skip":
+                        continue
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 r, g, b = p["r"], p["g"], p["b"]
                 ints = (np.rint(r * 255) + np.rint(g * 255)
@@ -215,6 +240,8 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
                     "mean_sat": float(s.mean()) if s.size else 0.0,
                     "mean_val": float(v.mean()) if v.size else 0.0,
                 })
+            if not out:                 # whole batch skipped: empty
+                continue                    # object dtypes break Arrow
             yield pd.DataFrame(out, columns=names)
 
     cols = ["media_id", "payload"]
@@ -229,7 +256,8 @@ PHASH_SCHEMA = T.StructType([
 ])
 
 
-def image_phash(media: DataFrame, mode: str = "real") -> DataFrame:
+def image_phash(media: DataFrame, mode: str = "real",
+                on_error: str = "fail") -> DataFrame:
     """REAL decode -> 64-bit perceptual hash per image
     (kernels.phash_plane: 32x32 area-resize -> DCT -> median-threshold
     low-frequency block). THE image-dedup signature for training
@@ -237,7 +265,9 @@ def image_phash(media: DataFrame, mode: str = "real") -> DataFrame:
     hamming bits, so ``dedup.hamming_pairs(df, "phash", ...)`` finds
     visual near-duplicates with pigeonhole banding — never all-pairs,
     the same 10^12-row shape as the text SimHash path. Arrow-batched
-    no-shuffle mapInPandas like the other image operators."""
+    no-shuffle mapInPandas like the other image operators;
+    ``on_error='skip'`` drops undecodable rows (scraped-corpus mode)."""
+    _check_on_error(on_error)
     from . import kernels as K
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,6 +287,8 @@ def image_phash(media: DataFrame, mode: str = "real") -> DataFrame:
                         b"" if payload is None else bytes(payload),
                         meta, mode)
                 except Exception as e:
+                    if on_error == "skip":
+                        continue
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 gray = K.rgb2pgm(r, g, b)
                 out.append({
@@ -265,6 +297,8 @@ def image_phash(media: DataFrame, mode: str = "real") -> DataFrame:
                     "height": int(gray.shape[0]),
                     "width": int(gray.shape[1]),
                 })
+            if not out:                 # whole batch skipped: empty
+                continue                    # object dtypes break Arrow
             yield pd.DataFrame(out, columns=names)
 
     cols = [f.name for f in MEDIA_SCHEMA.fields] if mode != "real" \
@@ -346,7 +380,8 @@ def report_image_arrays(r: np.ndarray, g: np.ndarray, b: np.ndarray,
 
 
 def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                 mode: str = "real") -> DataFrame:
+                 mode: str = "real",
+                 on_error: str = "fail") -> DataFrame:
     """The reference's PRIMARY use case as a Spark operator: image ->
     full report (``get_full_report_data``, ``src/interface.c:28-93``) on
     REAL 2-D planes — color statistics, histogram entropy, palette,
@@ -360,7 +395,10 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     (Br+Bg+Bb)/3, the average of the full-res channel means
     (``src/interface.c:78-79``). Per-image cost is dominated
     by the rfft2 — inherently per-row work (images vary in size), Arrow-
-    batched at the boundary like media_features; no shuffle anywhere."""
+    batched at the boundary like media_features; no shuffle anywhere.
+    ``on_error='skip'`` drops undecodable rows (scraped-corpus mode)."""
+    _check_on_error(on_error)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in IMAGE_REPORT_SCHEMA.fields]
         for pdf in batches:
@@ -376,10 +414,14 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
                         b"" if payload is None else bytes(payload),
                         meta, mode)
                 except Exception as e:
+                    if on_error == "skip":
+                        continue
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 rep = report_image_arrays(r, g, b, cfg)
                 rep["media_id"] = ids[i]
                 out.append(rep)
+            if not out:                 # whole batch skipped: empty
+                continue                    # object dtypes break Arrow
             yield pd.DataFrame(out, columns=names)
 
     cols = [f.name for f in MEDIA_SCHEMA.fields]

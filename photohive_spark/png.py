@@ -417,4 +417,9 @@ def decode_image_rgb(data: bytes) -> dict[str, np.ndarray]:
     if data[:2] == b"BM":
         from . import bmp
         return bmp.decode_rgb(data)
-    return decode_rgb(data)
+    if data[:8] == _SIG:
+        return decode_rgb(data)
+    raise ValueError(
+        f"unrecognized image format (magic bytes {data[:8]!r}) — "
+        "supported: PNG, JPEG (baseline/progressive), GIF, BMP; "
+        "WebP/TIFF/AVIF need native codecs absent in this environment")

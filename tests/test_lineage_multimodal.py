@@ -169,3 +169,34 @@ def test_multi_wave_commit(spark, sf_dir, tmp_path):
     assert waves == {(0, 1), (2, 3), (4, 5)}
     assert sum(e["rows"] for e in entries) == 60
     assert lineage.read_result(spark, out_dir).count() == 60
+
+
+def test_on_error_skip_drops_corrupt_rows(spark):
+    """on_error='skip': the scraped-corpus mode — corrupt payloads are
+    dropped instead of killing the job, good rows unaffected; the
+    default stays fail-loud."""
+    import numpy as np
+
+    from photohive_spark import png
+
+    img = np.full((8, 8, 3), 120, dtype=np.uint8)
+    rows = [("ok1", "image", bytearray(png.encode_png(img)), 8, 8,
+             None, None),
+            ("bad", "image", b"\x89PNG garbage", 8, 8, None, None),
+            ("ok2", "image", bytearray(png.encode_png(img)), 8, 8,
+             None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    for op in (multimodal.image_report, multimodal.image_phash,
+               multimodal.image_decode_stats):
+        kw = {} if op is multimodal.image_decode_stats else \
+            {"mode": "real"}
+        got = sorted(r.media_id for r in
+                     op(media, on_error="skip", **kw).collect())
+        assert got == ["ok1", "ok2"], op.__name__
+        with pytest.raises(Exception, match="bad"):
+            op(media, **kw).collect()
+    got = sorted(r.media_id for r in multimodal.media_features(
+        media, mode="real", on_error="skip").collect())
+    assert got == ["ok1", "ok2"]
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.image_report(media, on_error="ignore")
