@@ -674,30 +674,44 @@ def q_quantile_bins(spark, sf_dir):
 
 
 def q_image_decode_stats(spark, sf_dir):
-    """REAL image decode inside the driver's value-hash gate: 60
-    deterministic formula images ((i*7919 + p*104729) % 256 per channel)
-    are encoded by the pure-stdlib PNG encoder across EVERY decoder
-    profile — all five scanline filters, Adam7 interlacing, 16-bit depth
-    (values << 8, so the decoded high byte equals the formula) — then
-    decoded by the REAL path (png.decode_image_rgb) and reduced to
-    SQL-recomputable statistics: exact integer pixel checksum, BT.601
-    gray mean/std, clamped HSV mean saturation/value. PNG is lossless,
-    so the DuckDB oracle regenerates every output from the formula
-    alone; any decode defect on any profile breaks the hash."""
+    """REAL image decode inside the driver's value-hash gate, across
+    THREE lossless codecs: 90 deterministic formula images —
+    0-59 PNG ((i*7919 + p*104729) % 256 per channel) over EVERY decoder
+    profile (all five scanline filters, Adam7 interlacing, 16-bit depth
+    with values << 8 so the decoded high byte equals the formula);
+    60-74 GIF (palette[j] = (j*53+11, j*101+3, j*29+7) % 256, index
+    (i*7 + p*13) % 64, half interlaced — the LZW path); 75-89 BMP
+    (24-bit BI_RGB, PNG's channel formulas) — decoded by the REAL
+    magic-byte dispatch and reduced to SQL-recomputable statistics:
+    exact integer pixel checksum, BT.601 gray mean/std, clamped HSV
+    mean saturation/value. All three codecs are lossless, so the DuckDB
+    oracle regenerates every output from the formulas alone; any decode
+    defect in any codec breaks the hash."""
     import numpy as np
 
-    from photohive_spark import multimodal, png
+    from photohive_spark import bmp, gif, multimodal, png
 
     rows = []
-    for i in range(60):
+    for i in range(90):
         h, w = 8 + (i % 5) * 4, 12 + (i % 3) * 4
         p = np.arange(h * w, dtype=np.int64)
+        if 60 <= i < 75:
+            idx = ((i * 7 + p * 13) % 64).astype(np.uint8).reshape(h, w)
+            j = np.arange(64, dtype=np.int64)
+            pal = np.stack([(j * 53 + 11) % 256, (j * 101 + 3) % 256,
+                            (j * 29 + 7) % 256], axis=1).astype(np.uint8)
+            payload = gif.encode_gif(idx, palette=pal,
+                                     interlace=i % 2 == 1)
+            rows.append((f"img{i:02d}", payload))
+            continue
         img = np.stack([
             (i * 7919 + p * 104729) % 256,
             (i * 104729 + p * 7919) % 256,
             (i * 131 + p * 31 + 7) % 256,
         ], axis=1).astype(np.uint8).reshape(h, w, 3)
-        if i % 6 == 0:      # 16-bit depth: high byte carries the value
+        if i >= 75:
+            payload = bmp.encode_bmp(img)
+        elif i % 6 == 0:    # 16-bit depth: high byte carries the value
             payload = png.encode_png(img.astype(np.uint16) << 8,
                                      filter_type=i % 5,
                                      interlace=i % 2 == 1)
@@ -801,6 +815,60 @@ def q_image_phash(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """REAL audio (PCM WAV) decode under an exact oracle: 40 formula
+    waveforms (s16 = ((i*9973 + t*6151) % 65536) - 32768) written by
+    stdlib ``wave``, decoded by the real path (png.decode_wav_samples),
+    reduced to the exact integer sample sum + amplitude mean/std. WAV is
+    lossless PCM, so DuckDB recomputes everything from the formula.
+    Registered past the driver's ~50-entry cap; the pytest oracle gate
+    value-verifies it every run."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from photohive_spark import png as _png
+
+    rows = []
+    for i in range(40):
+        n = 500 + (i % 7) * 100
+        t = np.arange(n, dtype=np.int64)
+        v = ((i * 9973 + t * 6151) % 65536) - 32768
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(v.astype("<i2").tobytes())
+        rows.append((f"wav{i:02d}", buf.getvalue()))
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = _png.decode_wav_samples(bytes(payload))
+                ints = (np.rint(x * 65535.0) - 32768.0).astype(np.int64)
+                out.append({
+                    "media_id": mid, "n_samples": int(x.size),
+                    "sample_sum": int(ints.sum()),
+                    "amp_mean": float(x.mean()),
+                    "amp_std": float(np.sqrt(np.var(x)))})
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "sample_sum",
+                              "amp_mean", "amp_std"])
+
+    out = media.mapInPandas(
+        run, "media_id string, n_samples int, sample_sum long, "
+             "amp_mean double, amp_std double")
+    return out.select(
+        "media_id", "n_samples", "sample_sum",
+        F.round("amp_mean", 6).alias("amp_mean"),
+        F.round("amp_std", 6).alias("amp_std"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most the first ~50 entries
     # (round 2 registered 52 and exactly the first 50 got CORRECTNESS rows,
@@ -871,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r3 item #2). Both oracles still run in the pytest gate.
         "asof_join_strict": q_asof_join_strict,
         "asof_join_pandas": q_asof_join_pandas,
+        "audio_decode_stats": q_audio_decode_stats,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
         # golden/parity-tested in pytest). Deliberately LAST: if the
@@ -1077,6 +1146,29 @@ select doc_id,
 from {_TOKENS}
 """
 
+    sql["audio_decode_stats"] = """
+with ws as (
+  select unnest(range(0, 40)) as i),
+ts as (
+  select i, 500 + (i % 7) * 100 as n,
+         unnest(range(0, 500 + (i % 7) * 100)) as t
+  from ws),
+sm as (
+  select i, n, ((i * 9973 + t * 6151) % 65536) - 32768 as v
+  from ts),
+xs as (
+  select i, n, v,
+    cast(v + 32768 as double) / 65535.0 as x
+  from sm)
+select printf('wav%02d', i) as media_id,
+  n as n_samples,
+  cast(sum(v) as bigint) as sample_sum,
+  round(avg(x), 6) as amp_mean,
+  round(sqrt(avg(x * x) - avg(x) * avg(x)), 6) as amp_std
+from xs
+group by i, n
+"""
+
     # image_decode_stats: DuckDB regenerates the deterministic formula
     # images from first principles (no codec involved — PNG is lossless,
     # so the Spark side's REAL decode must land on exactly these values).
@@ -1084,16 +1176,22 @@ from {_TOKENS}
     # pixel_sum is pure integer (codec-defect tripwire independent of FP).
     sql["image_decode_stats"] = """
 with dims as (
-  select unnest(range(0, 60)) as i),
+  select unnest(range(0, 90)) as i),
 px as (
   select i, 8 + (i % 5) * 4 as h, 12 + (i % 3) * 4 as w,
          unnest(range(0, (8 + (i % 5) * 4) * (12 + (i % 3) * 4))) as p
   from dims),
 chan as (
   select i, h, w,
-    (i * 7919 + p * 104729) % 256 as r,
-    (i * 104729 + p * 7919) % 256 as g,
-    (i * 131 + p * 31 + 7) % 256 as b
+    case when i >= 60 and i < 75
+         then (((i * 7 + p * 13) % 64) * 53 + 11) % 256
+         else (i * 7919 + p * 104729) % 256 end as r,
+    case when i >= 60 and i < 75
+         then (((i * 7 + p * 13) % 64) * 101 + 3) % 256
+         else (i * 104729 + p * 7919) % 256 end as g,
+    case when i >= 60 and i < 75
+         then (((i * 7 + p * 13) % 64) * 29 + 7) % 256
+         else (i * 131 + p * 31 + 7) % 256 end as b
   from px),
 fv as (
   select i, h, w, r + g + b as pix,

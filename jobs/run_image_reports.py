@@ -31,6 +31,10 @@ def main() -> None:
                     help="parquet dir with MEDIA_SCHEMA columns")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", choices=["real", "fake"], default="real")
+    ap.add_argument("--on-error", choices=["fail", "skip"],
+                    default="fail",
+                    help="skip = drop undecodable rows (scraped-corpus "
+                         "production mode) instead of failing the job")
     ap.add_argument("--n-buckets", type=int, default=16)
     args = ap.parse_args()
 
@@ -76,7 +80,8 @@ def main() -> None:
     if 0 < len(missing) < args.n_buckets:
         media = media.where(
             lineage.bucket_of("media_id", args.n_buckets).isin(missing))
-    reports = multimodal.image_report(media, mode=args.mode)
+    reports = multimodal.image_report(media, mode=args.mode,
+                                      on_error=args.on_error)
     entries = lineage.run_resumable(spark, reports, args.output,
                                     key_col="media_id",
                                     n_buckets=args.n_buckets)
