@@ -276,11 +276,12 @@ def run_scaling() -> dict:
 def _image_corpus(n_distinct: int = 24):
     """Deterministic mixed-codec payload set: 4 size classes x 3 content
     hardness levels (smooth -> noisy, spanning best/worst-case entropy
-    decode) x codec mix 50% baseline JPEG / 25% progressive JPEG /
-    25% PNG — roughly the real-web distribution."""
+    decode) x codec mix 3/8 baseline JPEG + 2/8 progressive JPEG + 2/8
+    PNG (Paeth-filtered) + 1/8 GIF — roughly the real-web
+    distribution."""
     import numpy as np
 
-    from photohive_spark import jpeg, png
+    from photohive_spark import gif, jpeg, png
 
     sizes = [(120, 160), (240, 320), (360, 480), (480, 640)]
     payloads = []
@@ -293,13 +294,22 @@ def _image_corpus(n_distinct: int = 24):
         blend = i % 3
         img = (((smooth[..., None] * (2 - blend) + noise * (blend + 1))
                 // 3) % 256).astype(np.uint8)
-        if i % 4 == 3:
+        m = i % 8
+        if m in (3, 7):
             # Paeth-filtered: real libpng output is adaptive-filter
             # dominated, so filter-0 PNGs would flatter the decode rate
             kind, payload = "png", png.encode_png(img, filter_type=4)
-        elif i % 4 == 2:
+        elif m in (2, 6):
             kind, payload = "jpeg_progressive", \
                 jpeg.encode_jpeg_progressive(img, quality=85)
+        elif m == 5:
+            # GIF: palette-quantize to the web-safe default table
+            levels = np.array([0, 51, 102, 153, 204, 255])
+            q = np.argmin(np.abs(img[..., None].astype(int)
+                                 - levels), axis=3)
+            idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6
+                   + q[:, :, 2]).astype(np.uint8)
+            kind, payload = "gif", gif.encode_gif(idx)
         else:
             kind, payload = "jpeg_baseline", \
                 jpeg.encode_jpeg(img, quality=85)
