@@ -126,3 +126,44 @@ def test_asof_salted_matches_unsalted(spark):
     assert len(got_rows) == len(want)
     for r in got_rows:
         assert (r.matched_ts, r.feat) == want[r.probe_id], r.probe_id
+
+
+def test_asof_join_bucketed_zero_shuffle(spark, tmp_path):
+    """Co-located layout: both sides bucketed on the key -> the cogroup
+    as-of runs with ZERO Exchange in the physical plan (the non-bucketed
+    form pays two), and results equal the window-form as-of exactly."""
+    import pyspark.sql.functions as F2
+
+    probes = spark.range(2000).select(
+        (F2.col("id") % 37).alias("user_id"),
+        F2.col("id").alias("probe_id"),
+        F2.timestamp_seconds(F2.col("id") * 11 + 1_000_000_000)
+          .alias("probe_ts"))
+    snaps = spark.range(900).select(
+        (F2.col("id") % 37).alias("user_id"),
+        F2.timestamp_seconds(F2.col("id") * 23 + 1_000_000_000)
+          .alias("snap_ts"),
+        (F2.col("id") * 3).alias("score"))
+    spark.sql(f"create database if not exists b5 "
+              f"location '{tmp_path / 'wh'}'")
+    try:
+        pit.write_bucketed(probes, "b5.bp", "user_id", 8,
+                           sort_cols=("probe_ts",))
+        pit.write_bucketed(snaps, "b5.bs", "user_id", 8,
+                           sort_cols=("snap_ts",))
+        out = pit.asof_join_bucketed(spark, "b5.bp", "b5.bs", "user_id",
+                                     "probe_ts", "snap_ts", ["score"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        plain = out2 = pit.asof_join_pandas(
+            probes, snaps, "user_id", "probe_ts", "snap_ts", ["score"])
+        assert out2._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange") == 2
+        want = {r.probe_id: (r.matched_ts, r.score) for r in
+                pit.asof_join(probes, snaps, "user_id", "probe_ts",
+                              "snap_ts", ["score"]).collect()}
+        got = {r.probe_id: (r.matched_ts, r.score)
+               for r in out.collect()}
+        assert got == want and len(got) == 2000
+    finally:
+        spark.sql("drop database if exists b5 cascade")
