@@ -7,7 +7,12 @@
   by default, or the ``n_probe`` lowest-margin multiprobe buckets, so a
   10^12-row corpus is never fully scanned);
 - IVF ANN: sample-trained k-means cells, the data-adaptive index that
-  holds recall on corpora whose neighbors are not angular-close.
+  holds recall on corpora whose neighbors are not angular-close;
+- PQ (product quantization): m-byte codes instead of 4*dim-byte vectors
+  (32x at dim 64 / m=8) with asymmetric-distance scoring and optional
+  exact re-rank — the memory-bound scale path at 10^12 vectors;
+- choose_ann_index: sampled recall probe that picks the index + probe
+  budget per corpus (LSH for angular-close, IVF otherwise).
 
 No Python UDFs; the hyperplanes are a broadcast literal array.
 """
@@ -534,3 +539,136 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return (bucketed.where(F.col("bucket") == qsig)
             .select(id_col, F.round(cosine_expr(F.col("v"), q), 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_l2(sample: np.ndarray, n_codes: int, iters: int = 8
+               ) -> np.ndarray:
+    """Plain deterministic L2 k-means (PQ codebooks are Euclidean, not
+    spherical — subvectors are not unit-norm)."""
+    cents = sample[:n_codes].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(emb: DataFrame, m: int = 8, n_codes: int = 256,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_rows: int = 2048, iters: int = 8) -> np.ndarray:
+    """Train PQ codebooks on a bounded driver-side sample (the same
+    collect budget as IVF centroid training): vectors are L2-normalized
+    (so asymmetric-distance inner products approximate cosine), split
+    into ``m`` subspaces, and each subspace gets an ``n_codes``-entry
+    L2 k-means codebook. Returns (m, n_codes, dim/m) float64.
+
+    Why PQ at 10^12 vectors: a dim-64 float32 embedding is 256 bytes;
+    its PQ code is ``m`` bytes (32x compression at m=8) — the index that
+    decides whether candidate scoring is RAM-resident per executor."""
+    sample = np.array([list(r[vec_col]) for r in
+                       emb.orderBy(id_col).limit(sample_rows).collect()],
+                      dtype=np.float64)
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if n < n_codes:
+        raise ValueError(f"sample of {n} rows cannot train {n_codes} "
+                         f"codes — raise sample_rows")
+    unit = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(np.ascontiguousarray(unit[:, j * dsub:(j + 1) * dsub]),
+                   n_codes, iters)
+        for j in range(m)])
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Corpus -> (id, pq_code binary): per Arrow batch, one vectorized
+    nearest-codeword argmin per subspace (GEMM-shaped, like the IVF
+    fast assignment). Codes are ``m`` bytes per vector."""
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    # ||c||^2 terms of the expanded L2 distance; the -2<x,c> term is the
+    # only data-dependent part -> one matmul per subspace per batch
+    c_sq = (cb ** 2).sum(axis=2)                      # (m, n_codes)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype=np.uint8)
+            for j in range(m):
+                X = V[:, j * dsub:(j + 1) * dsub]
+                d2 = c_sq[j][None, :] - 2.0 * (X @ cb[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "pq_code": [c.tobytes() for c in codes]})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, pq_code binary")
+
+
+def pq_topk(codes: DataFrame, codebooks: np.ndarray,
+            query_vec: list[float], k: int = 10,
+            id_col: str = "vec_id",
+            rerank_with: DataFrame | None = None,
+            vec_col: str = "embedding",
+            rerank_factor: int = 4) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    (m x n_codes) inner-product lookup table ONCE (broadcast literal);
+    each Arrow batch scores rows with pure numpy gathers — no vector
+    data is read at all. With ``rerank_with`` the top k*rerank_factor
+    ADC candidates are re-scored EXACTLY against the original vectors
+    (a k*factor-row broadcast-join, the standard PQ recall recovery).
+
+    Scale shape: scan of m-byte codes -> mapInPandas scoring ->
+    TakeOrdered; at 10^12 vectors the scored index is 32x smaller than
+    the raw embeddings and the exact re-rank touches only k*factor
+    rows."""
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.stack([codebooks[j] @ q[j * dsub:(j + 1) * dsub]
+                    for j in range(m)]).astype(np.float64)  # (m, n_codes)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["pq_code"].tolist()),
+                dtype=np.uint8).reshape(len(pdf), m)
+            score = lut[np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "adc_score": np.round(score, 6)})
+
+    scored = codes.mapInPandas(run, f"{id_col} long, adc_score double")
+    if rerank_with is None:
+        return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(k)
+    cand = scored.orderBy(F.desc("adc_score"), F.asc(id_col)) \
+        .limit(k * rerank_factor)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (rerank_with.join(F.broadcast(cand), id_col)
+             .select(id_col,
+                     F.round(cosine_expr(
+                         F.col(vec_col).cast("array<double>"), qlit), 6)
+                      .alias("cosine")))
+    return exact.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

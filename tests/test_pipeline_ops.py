@@ -827,3 +827,46 @@ def test_choose_ann_index_picks_regime_winner(spark):
     # the reason LSH was rejected is visible in the diagnostics
     assert max(hard["lsh_recall"].values()) < 0.9, hard
     assert hard["mean_neighbor_cosine"] < 0.85
+
+
+def test_pq_index_recall_and_compression(spark):
+    """Product quantization: 32x-compressed codes (m=8 bytes vs dim-64
+    float32) must keep ADC top-k recall useful, and exact re-ranking of
+    k*factor candidates must recover recall >= 0.9 on a clustered
+    corpus; encode/score are Arrow-batched GEMMs."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for bi, v in enumerate(base):
+        for r in range(20):
+            w = v * (1 + 0.02 * rng.normal(size=64))
+            rows.append((bi * 20 + r, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = similarity.train_pq(emb, m=8, n_codes=64, sample_rows=800)
+    assert cb.shape == (8, 64, 8)
+    codes = similarity.pq_encode(emb, cb).cache()
+    first = codes.first()
+    assert len(bytes(first.pq_code)) == 8          # 8 bytes vs 256
+    assert codes.count() == 800
+
+    V = np.array([r[1] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.array([r[0] for r in rows])
+    recalls_adc, recalls_rr = [], []
+    for qi in range(0, 100, 20):
+        q = rows[qi][1]
+        qn = np.asarray(q) / np.linalg.norm(q)
+        sims = Vn @ qn
+        order = np.lexsort((ids, -np.round(sims, 6)))
+        truth = set(ids[order[:10]].tolist())
+        adc = {r.vec_id for r in
+               similarity.pq_topk(codes, cb, q, k=10).collect()}
+        rr = {r.vec_id for r in
+              similarity.pq_topk(codes, cb, q, k=10, rerank_with=emb,
+                                 rerank_factor=4).collect()}
+        recalls_adc.append(len(adc & truth) / 10)
+        recalls_rr.append(len(rr & truth) / 10)
+    assert np.mean(recalls_adc) >= 0.5, recalls_adc
+    assert np.mean(recalls_rr) >= 0.9, recalls_rr
+    assert np.mean(recalls_rr) >= np.mean(recalls_adc)
