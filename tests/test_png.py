@@ -433,3 +433,31 @@ def test_blur_profile_plane_consistent_with_framed():
     np.testing.assert_allclose(
         K.blur_profile_2d(x, CFG, dc_bias=0.25),
         K.blur_profile_plane(plane, CFG, dc_bias=0.25), rtol=1e-12)
+
+
+def test_degenerate_dimensions_all_codecs():
+    """1x1 / 1xN / Nx1 images round-trip through every codec (empty
+    Adam7 passes, single-MCU JPEG, single-pixel LZW, 1-row wavefront)."""
+    from photohive_spark import bmp, gif, jpeg
+
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (1, 17), (16, 1), (1, 1, 3), (2, 1, 3),
+                  (1, 2, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want3 = img if img.ndim == 3 else img[:, :, None]
+        for kw in [{}, {"interlace": True}, {"filter_type": 4}]:
+            np.testing.assert_array_equal(
+                png.decode_png(png.encode_png(img, **kw)), want3)
+        for enc in (jpeg.encode_jpeg, jpeg.encode_jpeg_progressive):
+            assert jpeg.decode_jpeg(enc(img, quality=95)).shape[:2] \
+                == shape[:2]
+        np.testing.assert_array_equal(
+            bmp.decode_bmp(bmp.encode_bmp(img)),
+            img if img.ndim == 3 else np.stack([img] * 3, axis=2))
+        if img.ndim == 2:
+            pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+            for il in (False, True):
+                out = gif.decode_gif(
+                    gif.encode_gif(img, palette=pal,
+                                   interlace=il))["frames"][0]
+                np.testing.assert_array_equal(out, pal[img])
