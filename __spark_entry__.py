@@ -811,7 +811,7 @@ def q_image_phash(spark, sf_dir):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     hashes = multimodal.image_phash(media, mode="real")
     pairs = dedup.hamming_pairs(hashes, "phash", "media_id",
-                                max_hamming=7, bands=8)
+                                max_hamming=7, bands=8, bits=64)
     return pairs.orderBy("id_a", "id_b")
 
 

@@ -342,7 +342,11 @@ def run_images(n_images: int = 4000, n_distinct: int = 24) -> dict:
                                            DEFAULT_CONFIG)
         t_ker = min(t_ker, time.time() - t0)
     mp_distinct = sum(h * w for _, _, h, w in payloads) / 1e6
-    mp_total = mp_distinct * (n_images / len(payloads))
+    # sum the ACTUAL replicated sizes: n_images % n_distinct leaves the
+    # cycle uneven, so scaling mp_distinct would misstate MP totals
+    mp_total = sum(payloads[j % len(payloads)][2]
+                   * payloads[j % len(payloads)][3]
+                   for j in range(n_images)) / 1e6
 
     # --- Spark throughput: replicate payloads to n_images rows ---
     spark = _get_spark(CPUS)

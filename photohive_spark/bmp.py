@@ -27,6 +27,13 @@ def _mask_shift(mask: int) -> tuple[int, int]:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (H, W, 3) uint8 RGB."""
+    try:
+        return _decode_bmp(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated BMP stream: {e}") from None
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP: missing BM signature")
     (pix_off,) = struct.unpack("<I", data[10:14])
@@ -91,14 +98,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_rgb(data: bytes) -> dict:
-    """BMP bytes -> planar float RGB in [0,1] (the
-    pil_image_to_image_rgb contract, matching png/jpeg/gif)."""
-    px = decode_bmp(data)
-    scale = 1.0 / 255.0
-    return {"r": px[:, :, 0].astype(np.float64) * scale,
-            "g": px[:, :, 1].astype(np.float64) * scale,
-            "b": px[:, :, 2].astype(np.float64) * scale,
-            "height": px.shape[0], "width": px.shape[1]}
+    """BMP bytes -> the shared planar float contract
+    (png.planes_from_uint8)."""
+    from .png import planes_from_uint8
+
+    return planes_from_uint8(decode_bmp(data))
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

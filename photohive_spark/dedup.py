@@ -457,6 +457,8 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
     if max_hamming >= bands:
         raise ValueError(f"pigeonhole soundness needs max_hamming < bands "
                          f"({max_hamming} >= {bands})")
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
     width = bits // bands
     mask = (1 << width) - 1
     keyed = (hashed.select(

@@ -142,6 +142,15 @@ def decode_gif(data: bytes) -> dict:
     """GIF bytes -> {width, height, frames: [(H, W, 3) uint8, ...],
     durations_ms: [...]} — frames composited onto the logical screen
     with disposal methods applied (what a viewer displays)."""
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as e:
+        # fail-loud contract: truncated headers/descriptors surface as
+        # ValueError like every other malformed-stream path
+        raise ValueError(f"truncated GIF stream: {e}") from None
+
+
+def _decode_gif(data: bytes) -> dict:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
     w, h = struct.unpack("<HH", data[6:10])
@@ -233,15 +242,11 @@ def decode_gif(data: bytes) -> dict:
 
 
 def decode_rgb(data: bytes) -> dict:
-    """GIF bytes -> planar float RGB in [0,1] of the FIRST frame (the
-    pil_image_to_image_rgb contract, matching png/jpeg.decode_rgb)."""
-    g = decode_gif(data)
-    f = g["frames"][0]
-    scale = 1.0 / 255.0
-    return {"r": f[:, :, 0].astype(np.float64) * scale,
-            "g": f[:, :, 1].astype(np.float64) * scale,
-            "b": f[:, :, 2].astype(np.float64) * scale,
-            "height": g["height"], "width": g["width"]}
+    """GIF bytes -> the FIRST frame as the shared planar float contract
+    (png.planes_from_uint8)."""
+    from .png import planes_from_uint8
+
+    return planes_from_uint8(decode_gif(data)["frames"][0])
 
 
 def _lzw_encode(idx: np.ndarray, min_code: int) -> bytes:

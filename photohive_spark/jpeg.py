@@ -490,15 +490,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
 
 
 def decode_rgb(data: bytes) -> dict:
-    """JPEG bytes -> planar float RGB in [0,1] (pil_image_to_image_rgb
-    contract, same shape as png.decode_rgb)."""
-    px = decode_jpeg(data)
-    if px.shape[2] == 1:
-        r = g = b = px[:, :, 0]
-    else:
-        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
-    scale = 1.0 / 255.0
-    return {"r": r.astype(np.float64) * scale,
-            "g": g.astype(np.float64) * scale,
-            "b": b.astype(np.float64) * scale,
-            "height": px.shape[0], "width": px.shape[1]}
+    """JPEG bytes -> the planar float contract of
+    png.planes_from_uint8 (the shared pil_image_to_image_rgb policy)."""
+    from .png import planes_from_uint8
+
+    return planes_from_uint8(decode_jpeg(data))

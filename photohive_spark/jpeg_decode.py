@@ -124,8 +124,13 @@ def _build_flut(spec: bytes, kind: str) -> list:
     fallback = (base != 0) & ~ok
     out = np.where(fallback, -((ln << 2) | 3), out)
     if kind == "ac":
-        out = np.where(sym == 0x00, -((ln << 2) | 1), out)     # EOB
-        out = np.where(sym == 0xF0, -((ln << 2) | 2), out)     # ZRL
+        # guard base != 0: an invalid window also has sym == 0, and
+        # marking it EOB (with a 0-bit advance) would silently swallow
+        # corrupt streams instead of raising — the fail-loud contract
+        out = np.where((base != 0) & (sym == 0x00),
+                       -((ln << 2) | 1), out)                  # EOB
+        out = np.where((base != 0) & (sym == 0xF0),
+                       -((ln << 2) | 2), out)                  # ZRL
     lst = out.tolist()
     if len(_FLUT_CACHE) > 64:
         _FLUT_CACHE.clear()

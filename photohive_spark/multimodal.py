@@ -262,7 +262,7 @@ def image_phash(media: DataFrame, mode: str = "real",
     (kernels.phash_plane: 32x32 area-resize -> DCT -> median-threshold
     low-frequency block). THE image-dedup signature for training
     corpora: re-encodes, resizes and small edits land within a few
-    hamming bits, so ``dedup.hamming_pairs(df, "phash", ...)`` finds
+    hamming bits, so ``dedup.hamming_pairs(df, "phash", ..., bits=64)`` finds
     visual near-duplicates with pigeonhole banding — never all-pairs,
     the same 10^12-row shape as the text SimHash path. Arrow-batched
     no-shuffle mapInPandas like the other image operators;

@@ -342,17 +342,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6,
         + chunk(b"IEND", b"")
 
 
-def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
-    """PNG bytes -> planar float RGB in [0,1] — the reference's
-    ``pil_image_to_image_rgb`` contract (``utils.py:30-46``): dict of
-    'r'/'g'/'b' (H, W) float64 planes plus 'height'/'width'. Gray expands
-    to equal planes; alpha is dropped (the reference converts to RGB the
-    same way)."""
-    px = decode_png(data)
+def planes_from_uint8(px: np.ndarray) -> dict[str, np.ndarray]:
+    """(H, W, C) uint8 -> the reference's ``pil_image_to_image_rgb``
+    contract (``utils.py:30-46``): dict of 'r'/'g'/'b' (H, W) float64
+    planes in [0,1] plus 'height'/'width'. Gray (and gray+alpha)
+    expands to equal planes; alpha is dropped. The ONE conversion every
+    codec's decode_rgb delegates to — the normalization policy lives
+    here only."""
     c = px.shape[2]
-    if c == 1:
-        r = g = b = px[:, :, 0]
-    elif c == 2:
+    if c in (1, 2):
         r = g = b = px[:, :, 0]
     else:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -361,6 +359,11 @@ def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
             "g": g.astype(np.float64) * scale,
             "b": b.astype(np.float64) * scale,
             "height": px.shape[0], "width": px.shape[1]}
+
+
+def decode_rgb(data: bytes) -> dict[str, np.ndarray]:
+    """PNG bytes -> the planar contract of :func:`planes_from_uint8`."""
+    return planes_from_uint8(decode_png(data))
 
 
 def decode_gray_samples(data: bytes) -> np.ndarray:

@@ -256,9 +256,11 @@ def image_report_stream(media_stream: DataFrame,
 
 def media_features_stream(media_stream: DataFrame,
                           cfg: EngineConfig = DEFAULT_CONFIG,
-                          mode: str = "real") -> DataFrame:
+                          mode: str = "fake") -> DataFrame:
     """Streaming media_features (1-D sample-stream DSP features) — same
-    stateless lift as image_report_stream."""
+    stateless lift as image_report_stream. The default ``mode`` matches
+    the BATCH operator ('fake') so lifting a pipeline never silently
+    changes decode semantics; pass mode='real' for real ingest."""
     from .multimodal import media_features
 
     return media_features(media_stream, cfg=cfg, mode=mode)

@@ -89,16 +89,25 @@ def parse_avi(data: bytes) -> dict:
                             compression = data[b3 + 16:b3 + 20]
                     stream_no += 1
         elif list_type == b"movi":
-            for f2, b2, s2 in _chunks(data, body + 4, body + size):
-                # '##dc'/'##db' = compressed/uncompressed frame of
-                # stream ##
-                if f2[2:4] in (b"dc", b"db"):
-                    try:
-                        sn = int(f2[:2])
-                    except ValueError:
+            def walk_movi(p0, p1):
+                for f2, b2, s2 in _chunks(data, p0, p1):
+                    # interleaved AVIs group frames in nested 'rec '
+                    # LISTs (the canonical RIFF layout) — recurse
+                    if f2 == b"LIST" and data[b2:b2 + 4] == b"rec ":
+                        walk_movi(b2 + 4, b2 + s2)
                         continue
-                    if vid_stream_no is not None and sn == vid_stream_no:
-                        frames.append(data[b2:b2 + s2])
+                    # '##dc'/'##db' = compressed/uncompressed frame of
+                    # stream ##
+                    if f2[2:4] in (b"dc", b"db"):
+                        try:
+                            sn = int(f2[:2])
+                        except ValueError:
+                            continue
+                        if vid_stream_no is not None \
+                                and sn == vid_stream_no:
+                            frames.append(data[b2:b2 + s2])
+
+            walk_movi(body + 4, body + size)
     if not vids_seen:
         raise ValueError("AVI contains no video stream")
     codec = handler if handler in _MJPEG_CODES else compression
@@ -170,7 +179,7 @@ def decode_video_gray_samples(data: bytes, n_sample: int = 4
 
 
 def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
-                     quality: int = 90) -> bytes:
+                     quality: int = 90, rec_lists: bool = False) -> bytes:
     """(H, W, 3)/(H, W) uint8 frames -> MJPEG AVI bytes (minimal
     writer: avih + one vids strl + movi; no idx1 — players tolerate it
     and the parser walks movi directly). Exists so every decoder path
@@ -206,6 +215,10 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
                        w * h * 3, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    if rec_lists:   # canonical interleaved layout: frames inside 'rec '
+        movi = lst(b"movi", b"".join(
+            lst(b"rec ", chunk(b"00dc", p)) for p in payloads))
+    else:
+        movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

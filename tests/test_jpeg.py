@@ -247,3 +247,17 @@ def test_dispatch_and_spark_pipeline(spark):
     gray = K.rgb2pgm(p["r"], p["g"], p["b"])
     assert rep.rms_mean == pytest.approx(
         K.rms_stats(gray.reshape(-1))[0], rel=1e-12)
+
+
+def test_folded_lut_invalid_window_not_eob():
+    """Regression (r5 review): an AC table's invalid 16-bit windows have
+    sym==0 like EOB does — the folded LUT must keep them INVALID (0),
+    not mark them end-of-block with a zero-bit advance, or corrupt
+    streams decode to garbage instead of raising."""
+    from photohive_spark import jpeg_decode as J
+
+    # one 1-bit code: every window starting with a 1-bit is undecodable
+    spec = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x01])
+    flut = J._build_flut(spec, "ac")
+    assert flut[0xFFFF] == 0
+    assert flut[0x0000] > 0                 # the valid code still folds

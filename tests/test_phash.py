@@ -57,7 +57,7 @@ def test_hamming_pairs_matches_bruteforce(spark):
     df = spark.createDataFrame(rows, "vec_id string, h long")
     got = {(r.id_a, r.id_b, r.hamming) for r in
            dedup.hamming_pairs(df, "h", "vec_id", max_hamming=3,
-                               bands=4).collect()}
+                               bands=4, bits=64).collect()}
     want = set()
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
@@ -91,7 +91,7 @@ def test_image_phash_pipeline_finds_cross_codec_neardups(spark):
     assert hashes.count() == 4
     pairs = {(r.id_a, r.id_b) for r in
              dedup.hamming_pairs(hashes, "phash", "media_id",
-                                 max_hamming=7, bands=8).collect()}
+                                 max_hamming=7, bands=8, bits=64).collect()}
     assert ("a_jpeg", "a_png") in pairs
     assert ("a_png", "a_small") in pairs or ("a_small", "a_png") in pairs
     assert not any("b_png" in p for p in pairs)

@@ -93,3 +93,15 @@ def test_animated_gif_as_video(spark):
     feat = multimodal.media_features(media, mode="real").collect()[0]
     assert feat.n_samples == len(x)
     assert feat.rms_mean == pytest.approx(K.rms_stats(x)[0], rel=1e-12)
+
+
+def test_rec_list_interleaved_avi():
+    """Canonical interleaved AVIs wrap frame chunks in nested 'rec '
+    LISTs — the parser must recurse and find every frame."""
+    frames = _frames(n=4)
+    plain = video.decode_frames(video.encode_avi_mjpeg(frames))
+    rec = video.decode_frames(
+        video.encode_avi_mjpeg(frames, rec_lists=True))
+    assert len(rec) == 4
+    for a, b in zip(plain, rec):
+        np.testing.assert_array_equal(a, b)
