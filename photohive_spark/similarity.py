@@ -672,3 +672,62 @@ def pq_topk(codes: DataFrame, codebooks: np.ndarray,
                          F.col(vec_col).cast("array<double>"), qlit), 6)
                       .alias("cosine")))
     return exact.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def write_ivfpq_index(emb: DataFrame, path: str, centroids: np.ndarray,
+                      codebooks: np.ndarray, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """IVF-PQ: the canonical billion-scale ANN layout (coarse quantizer
+    prunes cells; PQ codes shrink what remains). One Arrow-batched pass
+    assigns each vector's IVF cell (GEMM argmax) AND its PQ codes, then
+    writes (id, pq_code) PARTITIONED BY ivf_cell. A query scans
+    n_probe/n_cells of an index that is itself ~32x smaller than the raw
+    embeddings — the two pruning axes compose multiplicatively: at
+    10^12 dim-64 vectors the probed bytes per query drop from 256 TB
+    (brute) to ~tens of GB."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
+    n_cells = C.shape[1]
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    c_sq = (cb ** 2).sum(axis=2)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = (n_cells - 1) - np.argmax((Vn @ C)[:, ::-1], axis=1)
+            codes = np.empty((len(Vn), m), dtype=np.uint8)
+            for j in range(m):
+                X = Vn[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    c_sq[j][None, :] - 2.0 * (X @ cb[j].T), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "pq_code": [c.tobytes() for c in codes],
+                "ivf_cell": cell.astype(np.int32)})
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, pq_code binary, ivf_cell int")
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivfpq_topk(spark, path: str, centroids: np.ndarray,
+               codebooks: np.ndarray, query_vec: list[float],
+               k: int = 10, n_probe: int = 2, id_col: str = "vec_id",
+               rerank_with: DataFrame | None = None,
+               vec_col: str = "embedding",
+               rerank_factor: int = 4) -> DataFrame:
+    """Query the IVF-PQ index: partition-pruned scan of the query's
+    n_probe cells (a PartitionFilter, like ivf_topk_indexed) -> ADC
+    scoring over m-byte codes (pq_topk's LUT-gather path) -> optional
+    exact re-rank of k*rerank_factor candidates against the original
+    vectors."""
+    cells = probe_cells(centroids, query_vec, n_probe)
+    codes = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    return pq_topk(codes, codebooks, query_vec, k, id_col,
+                   rerank_with, vec_col, rerank_factor)

@@ -870,3 +870,43 @@ def test_pq_index_recall_and_compression(spark):
     assert np.mean(recalls_adc) >= 0.5, recalls_adc
     assert np.mean(recalls_rr) >= 0.9, recalls_rr
     assert np.mean(recalls_rr) >= np.mean(recalls_adc)
+
+
+def test_ivfpq_index_partition_pruned_recall(spark, tmp_path):
+    """IVF-PQ composite: partition-pruned probe + ADC codes + exact
+    re-rank must reach recall@10 >= 0.9 on a clustered corpus, and the
+    probe must be a PartitionFilter (only n_probe cell directories
+    scanned)."""
+    rng = np.random.default_rng(6)
+    base = rng.normal(size=(32, 64))
+    rows = []
+    for bi, v in enumerate(base):
+        for r in range(25):
+            w = v * (1 + 0.02 * rng.normal(size=64))
+            rows.append((bi * 25 + r, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids_from_sample(emb, n_cells=8,
+                                                 sample_rows=800)
+    cb = similarity.train_pq(emb, m=8, n_codes=64, sample_rows=800)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(emb, path, cents, cb)
+
+    V = np.array([r[1] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.array([r[0] for r in rows])
+    recalls = []
+    for qi in range(0, 125, 25):
+        q = rows[qi][1]
+        qn = np.asarray(q) / np.linalg.norm(q)
+        order = np.lexsort((ids, -np.round(Vn @ qn, 6)))
+        truth = set(ids[order[:10]].tolist())
+        got = {r.vec_id for r in similarity.ivfpq_topk(
+            spark, path, cents, cb, q, k=10, n_probe=3,
+            rerank_with=emb).collect()}
+        recalls.append(len(got & truth) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+    df = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin([0, 1]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
