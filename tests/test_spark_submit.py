@@ -191,3 +191,63 @@ def test_spark_submit_run_image_reports_and_resume(tmp_path, spark):
                         text=True, timeout=600)
     assert r3.returncode != 0
     assert "mode" in (r3.stderr + r3.stdout)
+
+
+def test_spark_submit_run_image_dedup(tmp_path, spark):
+    """Image-dedup job end-to-end: real decode -> pHash -> hamming
+    banding -> components -> resumable cleaned write; corrupt payloads
+    drop (on_error=skip); re-run reuses the hash checkpoint."""
+    import numpy as np
+
+    from photohive_spark import jpeg, multimodal, png
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(6):                     # 6 distinct structured images
+        y, x = np.mgrid[0:40, 0:50]
+        img = np.stack([((x * (i + 2) + y) % 256).astype(np.uint8),
+                        ((y * (i + 3)) % 256).astype(np.uint8),
+                        np.full_like(x, 30 * i, dtype=np.uint8)], axis=2)
+        img[5:20, 10:30] = 250 - 30 * i
+        rows.append((f"m{i}_png", "image",
+                     bytearray(png.encode_png(img)), 50, 40, None, None))
+        rows.append((f"m{i}_jpg", "image",
+                     bytearray(jpeg.encode_jpeg(img, quality=85)),
+                     50, 40, None, None))
+    rows.append(("corrupt", "image", b"not an image", None, None,
+                 None, None))
+    media_path = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA) \
+        .write.parquet(media_path)
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "clean")
+    hashes = str(tmp_path / "phashes")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_image_dedup.py"),
+           "--media", media_path, "--output", out,
+           "--hashes-dir", hashes, "--max-hamming", "7",
+           "--n-buckets", "4"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads([l for l in r.stdout.splitlines()
+                        if l.startswith("{")][-1])
+    assert stats["n_media"] == 13
+    assert stats["undecodable_dropped"] == 1
+    # each (png, jpeg-re-encode) pair collapses to one representative
+    assert stats["visual_near_dup_pairs"] >= 6
+    assert stats["media_dropped"] >= 6
+    assert stats["media_kept"] <= 7
+
+    # resume: hash checkpoint is REUSED (no re-decode)
+    shutil.rmtree(out)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats2 = json.loads([l for l in r2.stdout.splitlines()
+                         if l.startswith("{")][-1])
+    assert stats2["hashes_reused"] is True
+    assert stats2["media_kept"] == stats["media_kept"]
