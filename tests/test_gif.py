@@ -120,3 +120,31 @@ def test_dispatch_and_spark_pipeline(spark):
     gray = K.rgb2pgm(p["r"], p["g"], p["b"])
     assert rep.rms_mean == pytest.approx(
         K.rms_stats(gray.reshape(-1))[0], rel=1e-12)
+
+
+def test_lzw_property_roundtrip():
+    """Hypothesis-style property sweep (seeded, deterministic): random
+    index streams across palette sizes, shapes and interlace must
+    round-trip exactly — covering width growth timing, KwKwK chains,
+    run-heavy streams (long repeats) and table-full clears."""
+    rng = np.random.default_rng(99)
+    for trial in range(25):
+        bits = int(rng.integers(1, 9))          # palette 2..256 colors
+        n_col = 1 << bits
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        style = trial % 3
+        if style == 0:                           # uniform random
+            idx = rng.integers(0, n_col, (h, w), dtype=np.uint8)
+        elif style == 1:                         # run-heavy (repeats)
+            runs = rng.integers(0, n_col, max(1, h * w // 7) + 1)
+            idx = np.repeat(runs, 7)[:h * w].reshape(h, w).astype(np.uint8)
+        else:                                    # KwKwK-inducing pattern
+            idx = (np.arange(h * w) % min(3, n_col)) \
+                .reshape(h, w).astype(np.uint8)
+        pal = rng.integers(0, 256, (n_col, 3), dtype=np.uint8)
+        data = gif.encode_gif(idx, palette=pal,
+                              interlace=bool(trial % 2))
+        out = gif.decode_gif(data)
+        np.testing.assert_array_equal(out["frames"][0], pal[idx],
+                                      err_msg=f"trial {trial}")
