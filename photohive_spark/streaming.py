@@ -227,6 +227,22 @@ def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
         *[F.col(f"_best.{c}").alias(c) for c in value_cols])
 
 
+def image_dedup_stream(media_stream: DataFrame,
+                       on_error: str = "skip") -> DataFrame:
+    """Streaming VISUAL dedup at ingest: REAL decode -> 64-bit pHash
+    (stateless mapInPandas) -> first-arrival dropDuplicates on the
+    hash. Exact perceptual duplicates (same image re-scraped, or
+    re-encoded closely enough to share a pHash) are dropped as they
+    arrive — the image counterpart of dedup_stream. Near-dup CLUSTERING
+    (hamming > 0) stays a batch job (jobs/run_image_dedup.py): a stream
+    cannot retroactively merge clusters. on_error defaults to 'skip'
+    (scraped streams contain corrupt payloads)."""
+    from .multimodal import image_phash
+
+    return image_phash(media_stream, mode="real",
+                       on_error=on_error).dropDuplicates(["phash"])
+
+
 def read_media_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     """File-source stream of opaque-binary media rows (MEDIA_SCHEMA

@@ -404,3 +404,37 @@ def test_image_report_stream_equals_batch(spark, tmp_path):
         assert got[k].hist_entropy == want[k].hist_entropy
         assert got[k].sharpness_avg == want[k].sharpness_avg
         assert got[k].palette == want[k].palette
+
+
+def test_image_dedup_stream_first_arrival(spark, tmp_path):
+    """Visual dedup at ingest: the same image arriving as PNG and as a
+    pixel-identical PNG copy dedups to one row; corrupt payloads drop;
+    distinct images all survive."""
+    import numpy as np
+
+    from photohive_spark import multimodal, png
+
+    rng = np.random.default_rng(55)
+    rows = []
+    imgs = [rng.integers(0, 256, (24, 30, 3), dtype=np.uint8)
+            for _ in range(3)]
+    for i, img in enumerate(imgs):
+        rows.append((f"a{i}", "image", bytearray(png.encode_png(img)),
+                     30, 24, None, None))
+        # pixel-identical re-encode (different filter => different bytes,
+        # same pHash)
+        rows.append((f"b{i}", "image",
+                     bytearray(png.encode_png(img, filter_type=2)),
+                     30, 24, None, None))
+    rows.append(("bad", "image", b"garbage", None, None, None, None))
+    src = str(tmp_path / "media_dedup_stream")
+    spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA) \
+        .repartition(2).write.parquet(src)
+
+    stream = streaming.read_media_stream(spark, src)
+    streaming.run_to_memory(streaming.image_dedup_stream(stream),
+                            "img_dedup")
+    got = spark.sql("select * from img_dedup").collect()
+    assert len(got) == 3                     # one per distinct image
+    assert len({r.phash for r in got}) == 3
+    assert not any(r.media_id == "bad" for r in got)
