@@ -51,6 +51,11 @@ def main() -> None:
                          "whole corpus")
     ap.add_argument("--on-error", choices=["fail", "skip"],
                     default="skip")
+    ap.add_argument("--max-bucket-size", type=int, default=10000,
+                    help="hamming-band buckets wider than this switch "
+                         "to star pairing (identical pHashes dominate "
+                         "scraped corpora and make the exact band "
+                         "self-join quadratic); 0 disables the cap")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -95,7 +100,8 @@ def main() -> None:
 
     pairs = dedup.hamming_pairs(hashes, "phash", "media_id",
                                 max_hamming=args.max_hamming,
-                                bands=args.bands, bits=64) \
+                                bands=args.bands, bits=64,
+                                max_bucket_size=args.max_bucket_size or None) \
         .localCheckpoint()
     n_pairs = pairs.count()
 
@@ -108,7 +114,13 @@ def main() -> None:
     drop = labels.where(F.col("media_id") != F.col("component")) \
                  .select("media_id")
     n_drop = drop.count()
-    clean = media.join(drop, on="media_id", how="left_anti")
+    # restrict to rows that actually hashed: with on_error='skip',
+    # undecodable payloads never reach the pair stage, and a plain
+    # anti-join would silently RETAIN the corrupt rows in the cleaned
+    # table while the summary calls them "dropped" — so drop them here
+    clean = (media.join(hashes.select("media_id"), on="media_id",
+                        how="left_semi")
+             .join(drop, on="media_id", how="left_anti"))
 
     lineage.run_resumable(spark, clean, args.output,
                           key_col="media_id", n_buckets=args.n_buckets)
@@ -118,7 +130,7 @@ def main() -> None:
         "undecodable_dropped": n_media - n_hashed,
         "hashes_reused": hashes_reused,
         "visual_near_dup_pairs": n_pairs,
-        "media_dropped": n_drop, "media_kept": n_media - n_drop,
+        "media_dropped": n_drop, "media_kept": n_hashed - n_drop,
         "buckets_done": len(done), "wall_s": round(time.time() - t0, 2),
     }))
 

@@ -427,7 +427,8 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3, bands: int = 4,
                           bits: int = SIMHASH_BITS,
-                          hash_fn: str = "poly") -> DataFrame:
+                          hash_fn: str = "poly",
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
     Pigeonhole banding: the ``bits``-bit simhash splits into ``bands``
@@ -437,23 +438,45 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     Exact verification = bit_count(xor) on the candidate set.
 
     Scale: one groupBy to build signatures, one equi-join on the band key;
-    uniform band values (hash bits) mean no skew; same shape as MinHash-LSH
-    banding but with a 1-word signature.
+    uniform band values (hash bits) mean no skew for DISTINCT texts, but
+    exact-duplicate texts share whole signatures — on dup-heavy corpora
+    pass ``max_bucket_size`` to cap hot buckets via star pairing (see
+    hamming_pairs); same shape as MinHash-LSH banding but with a 1-word
+    signature.
     """
     sim = simhash(docs, text_col, id_col, bits, hash_fn)
-    return hamming_pairs(sim, "simhash", id_col, max_hamming, bands, bits)
+    return hamming_pairs(sim, "simhash", id_col, max_hamming, bands, bits,
+                         max_bucket_size=max_bucket_size)
 
 
 def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
                   max_hamming: int, bands: int,
-                  bits: int = SIMHASH_BITS) -> DataFrame:
+                  bits: int = SIMHASH_BITS,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Generic hamming-distance near-dup pairs over ANY bigint hash
     column (SimHash text signatures, pHash image signatures, ...) via
     pigeonhole banding: the ``bits``-bit hash splits into ``bands``
     equal bands; any pair within hamming ``bands - 1`` shares at least
     one identical band, so candidates = pairs sharing a (band, value)
     key — never an all-pairs comparison. Exact verification =
-    bit_count(xor), all JVM-side."""
+    bit_count(xor), all JVM-side.
+
+    ``max_bucket_size``: the within-bucket self-join is quadratic in
+    bucket width, and real scraped corpora are duplicate-heavy — flat /
+    low-frequency images in particular collapse to IDENTICAL pHashes, so
+    one hot (band, bval) key can hold 10^6 members and the exact
+    self-join would emit ~10^12 candidates from that key alone. Buckets
+    above the cap switch to STAR pairing (same guard as
+    minhash_lsh_pairs): every member pairs with the bucket's min-id
+    representative only, O(n) pairs. Verification still runs bit_count
+    on each emitted pair, and star pairs carry both endpoint hashes, so
+    emitted hamming values stay exact. RECALL CAVEAT: in an over-cap
+    bucket, two members within ``max_hamming`` of each other but not of
+    the representative lose their direct pair; for the dominant case
+    (identical hashes, hamming 0 to the rep) every member stays
+    connected through the rep, so connected components are preserved.
+    Size the cap well above the expected near-dup cluster width.
+    Default None = exact banding (the oracle-checked semantics)."""
     if max_hamming >= bands:
         raise ValueError(f"pigeonhole soundness needs max_hamming < bands "
                          f"({max_hamming} >= {bands})")
@@ -469,14 +492,37 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
                       .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("k"))
         .select(id_col, hash_col, "k.band", "k.bval"))
-    cand = (keyed.alias("x").join(keyed.alias("y"), on=["band", "bval"])
-            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(F.col(f"x.{id_col}").alias("id_a"),
-                    F.col(f"y.{id_col}").alias("id_b"),
-                    F.bit_count(F.col(f"x.{hash_col}")
-                                .bitwiseXOR(F.col(f"y.{hash_col}")))
-                     .alias("hamming"))
-            .distinct())
+
+    def _self_join(df: DataFrame) -> DataFrame:
+        return (df.alias("x").join(df.alias("y"), on=["band", "bval"])
+                .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                .select(F.col(f"x.{id_col}").alias("id_a"),
+                        F.col(f"y.{id_col}").alias("id_b"),
+                        F.bit_count(F.col(f"x.{hash_col}")
+                                    .bitwiseXOR(F.col(f"y.{hash_col}")))
+                         .alias("hamming")))
+
+    if max_bucket_size is not None:
+        # one extra groupBy on the SAME (band, bval) key the join uses —
+        # map-side partial counts make it cheap, and min_by carries the
+        # representative's hash so star pairs verify without a re-join
+        stats = (keyed.groupBy("band", "bval")
+                 .agg(F.count("*").alias("_bn"),
+                      F.min(id_col).alias("_rep"),
+                      F.min_by(hash_col, F.col(id_col)).alias("_rep_hash")))
+        joined = keyed.join(stats, on=["band", "bval"])
+        small = joined.where(F.col("_bn") <= max_bucket_size) \
+                      .select(id_col, hash_col, "band", "bval")
+        pairs_big = (joined.where((F.col("_bn") > max_bucket_size)
+                                  & (F.col(id_col) != F.col("_rep")))
+                     .select(F.col("_rep").alias("id_a"),
+                             F.col(id_col).alias("id_b"),
+                             F.bit_count(F.col("_rep_hash")
+                                         .bitwiseXOR(F.col(hash_col)))
+                              .alias("hamming")))
+        cand = _self_join(small).unionByName(pairs_big).distinct()
+    else:
+        cand = _self_join(keyed).distinct()
     return cand.where(F.col("hamming") <= max_hamming)
 
 

@@ -257,7 +257,8 @@ PHASH_SCHEMA = T.StructType([
 
 
 def image_phash(media: DataFrame, mode: str = "real",
-                on_error: str = "fail") -> DataFrame:
+                on_error: str = "fail",
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     """REAL decode -> 64-bit perceptual hash per image
     (kernels.phash_plane: 32x32 area-resize -> DCT -> median-threshold
     low-frequency block). THE image-dedup signature for training
@@ -266,18 +267,32 @@ def image_phash(media: DataFrame, mode: str = "real",
     visual near-duplicates with pigeonhole banding — never all-pairs,
     the same 10^12-row shape as the text SimHash path. Arrow-batched
     no-shuffle mapInPandas like the other image operators;
-    ``on_error='skip'`` drops undecodable rows (scraped-corpus mode)."""
+    ``on_error='skip'`` drops undecodable rows (scraped-corpus mode).
+    ``passthrough`` names extra input columns copied verbatim onto the
+    output rows (keeping their input types) — e.g. an ingest-time
+    column so a streaming consumer can watermark the hashed stream."""
     _check_on_error(on_error)
     from . import kernels as K
 
+    in_fields = {f.name: f for f in media.schema.fields}
+    for c in passthrough:
+        if c in {f.name for f in PHASH_SCHEMA.fields}:
+            raise ValueError(f"passthrough column {c!r} collides with a "
+                             "PHASH_SCHEMA output column")
+        if c not in in_fields:
+            raise ValueError(f"passthrough column {c!r} not in input")
+    out_schema = T.StructType(list(PHASH_SCHEMA.fields)
+                              + [in_fields[c] for c in passthrough])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        names = [f.name for f in PHASH_SCHEMA.fields]
+        names = [f.name for f in out_schema.fields]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = []
             metas = {k: pdf[k].tolist() for k in _META_KEYS} \
                 if mode != "real" else None
+            extras = {c: pdf[c].tolist() for c in passthrough}
             ids = pdf["media_id"].tolist()
             for i, payload in enumerate(pdf["payload"].tolist()):
                 meta = ({k: _meta_val(metas[k][i]) for k in _META_KEYS}
@@ -291,19 +306,23 @@ def image_phash(media: DataFrame, mode: str = "real",
                         continue
                     raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
                 gray = K.rgb2pgm(r, g, b)
-                out.append({
+                row = {
                     "media_id": ids[i],
                     "phash": K.phash_plane(gray),
                     "height": int(gray.shape[0]),
                     "width": int(gray.shape[1]),
-                })
+                }
+                for c in passthrough:
+                    row[c] = extras[c][i]
+                out.append(row)
             if not out:                 # whole batch skipped: empty
                 continue                    # object dtypes break Arrow
             yield pd.DataFrame(out, columns=names)
 
     cols = [f.name for f in MEDIA_SCHEMA.fields] if mode != "real" \
         else ["media_id", "payload"]
-    return media.select(*cols).mapInPandas(run, PHASH_SCHEMA)
+    cols = cols + [c for c in passthrough if c not in cols]
+    return media.select(*cols).mapInPandas(run, out_schema)
 
 
 IMAGE_REPORT_SCHEMA = T.StructType([

@@ -228,7 +228,9 @@ def asof_join_stream_static(probe_stream: DataFrame, snapshots: DataFrame,
 
 
 def image_dedup_stream(media_stream: DataFrame,
-                       on_error: str = "skip") -> DataFrame:
+                       on_error: str = "skip",
+                       watermark_col: str | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
     """Streaming VISUAL dedup at ingest: REAL decode -> 64-bit pHash
     (stateless mapInPandas) -> first-arrival dropDuplicates on the
     hash. Exact perceptual duplicates (same image re-scraped, or
@@ -236,11 +238,32 @@ def image_dedup_stream(media_stream: DataFrame,
     arrive — the image counterpart of dedup_stream. Near-dup CLUSTERING
     (hamming > 0) stays a batch job (jobs/run_image_dedup.py): a stream
     cannot retroactively merge clusters. on_error defaults to 'skip'
-    (scraped streams contain corrupt payloads)."""
+    (scraped streams contain corrupt payloads).
+
+    With ``watermark_col`` set (an event-time column on the media
+    stream, carried through the hash stage via image_phash passthrough),
+    dropDuplicatesWithinWatermark bounds the state store — without it,
+    dropDuplicates holds one state row per distinct pHash FOREVER, which
+    on a long-running ingest stream grows monotonically (same
+    state-size/recall tradeoff as dedup_stream).
+
+    FALSE-POSITIVE CAVEAT: dedup is on exact 64-bit pHash equality, and
+    pHash collapses visually flat / low-frequency images (solid fills,
+    simple gradients, logos on plain backgrounds) onto a few hash
+    values — DISTINCT images that collide are silently and permanently
+    dropped. Where that matters, keep ingest dedup exact (digest-based
+    dedup_stream) and leave perceptual dedup to the batch job, which
+    verifies hamming and keeps a representative per CLUSTER instead of
+    per hash value."""
     from .multimodal import image_phash
 
-    return image_phash(media_stream, mode="real",
-                       on_error=on_error).dropDuplicates(["phash"])
+    hashed = image_phash(
+        media_stream, mode="real", on_error=on_error,
+        passthrough=(watermark_col,) if watermark_col else ())
+    if watermark_col is not None:
+        return (hashed.withWatermark(watermark_col, watermark)
+                .dropDuplicatesWithinWatermark(["phash"]))
+    return hashed.dropDuplicates(["phash"])
 
 
 def read_media_stream(spark: SparkSession, path: str,

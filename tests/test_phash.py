@@ -95,3 +95,63 @@ def test_image_phash_pipeline_finds_cross_codec_neardups(spark):
     assert ("a_jpeg", "a_png") in pairs
     assert ("a_png", "a_small") in pairs or ("a_small", "a_png") in pairs
     assert not any("b_png" in p for p in pairs)
+
+
+def test_hamming_pairs_bucket_cap_bounds_pathological_bucket(spark):
+    """A duplicate-heavy corpus (10k IDENTICAL pHashes — the flat-image
+    web-scrape pathology) must emit O(n) star candidates under the cap,
+    not the ~5*10^7 all-pairs the exact band self-join would produce."""
+    n = 10_000
+    hot = 0x5A5A_1234_DEAD_BEEF                  # a fixed 64-bit hash
+    rows = [(f"d{i:05d}", int(hot)) for i in range(n)]
+    # a few distinct singletons that must NOT pair with anything
+    rng = np.random.default_rng(11)
+    for i, v in enumerate(rng.integers(-(1 << 62), 1 << 62, 5,
+                                       dtype=np.int64)):
+        rows.append((f"s{i}", int(v)))
+    df = spark.createDataFrame(rows, "media_id string, phash long")
+    pairs = dedup.hamming_pairs(df, "phash", "media_id", max_hamming=6,
+                                bands=8, bits=64,
+                                max_bucket_size=100).collect()
+    # star pairing: every member pairs with the min-id rep exactly once
+    assert len(pairs) == n - 1
+    assert all(p.id_a == "d00000" and p.hamming == 0 for p in pairs)
+    assert not any(p.id_a.startswith("s") or p.id_b.startswith("s")
+                   for p in pairs)
+
+
+def test_hamming_pairs_bucket_cap_preserves_components(spark):
+    """Capped vs uncapped banding on a mixed corpus (identical-hash
+    clusters wide enough to trip the cap + 1-bit near-dups + noise):
+    the candidate SET may shrink, but connected components — the thing
+    dedup actually consumes — must be identical, and star pairs must
+    carry exact hamming values (rep-hash verify)."""
+    rng = np.random.default_rng(23)
+    rows = []
+    bases = rng.integers(-(1 << 62), 1 << 62, 6, dtype=np.int64)
+    for c, base in enumerate(bases):
+        width = [40, 25, 12, 6, 2, 1][c]        # clusters above/below cap
+        for i in range(width):
+            v = int(base)
+            if i % 3 == 1 and width > 3:        # some 1-bit variants
+                v ^= 1 << int(rng.integers(0, 64))
+            rows.append((f"c{c}_{i:03d}", int(np.int64(v))))
+    df = spark.createDataFrame(rows, "media_id string, phash long")
+
+    def comps(pairs_df):
+        nodes = df.select("media_id")
+        lab = dedup.connected_components(pairs_df, nodes,
+                                         id_col="media_id")
+        return {(r.media_id, r.component) for r in lab.collect()}
+
+    exact = dedup.hamming_pairs(df, "phash", "media_id", max_hamming=3,
+                                bands=8, bits=64)
+    capped = dedup.hamming_pairs(df, "phash", "media_id", max_hamming=3,
+                                 bands=8, bits=64, max_bucket_size=8)
+    exact_pairs = {(r.id_a, r.id_b): r.hamming for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
+    # star pairs are a subset with exact hamming values
+    assert set(capped_pairs) <= set(exact_pairs)
+    assert all(exact_pairs[k] == v for k, v in capped_pairs.items())
+    assert len(capped_pairs) < len(exact_pairs)     # the cap actually bit
+    assert comps(capped) == comps(exact)

@@ -438,3 +438,83 @@ def test_image_dedup_stream_first_arrival(spark, tmp_path):
     assert len(got) == 3                     # one per distinct image
     assert len({r.phash for r in got}) == 3
     assert not any(r.media_id == "bad" for r in got)
+
+
+def test_image_dedup_stream_watermark_bounds_state(spark, tmp_path):
+    """Watermarked visual dedup: the ingest-ts column rides through the
+    hash stage (image_phash passthrough), in-window pHash duplicates are
+    dropped, and state for expired hashes is EVICTED — proven by a
+    duplicate far past the watermark re-emitting (the documented
+    state-size/recall tradeoff, same contract as dedup_stream)."""
+    import os
+    import time as _t
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from photohive_spark import multimodal, png
+    import pyspark.sql.types as T
+
+    rng = np.random.default_rng(77)
+    img_a = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    img_c = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    t0 = dt.datetime(2026, 1, 1)
+
+    def rec(mid, img, ftype, ts):
+        return {"media_id": mid, "kind": "image",
+                "payload": bytes(png.encode_png(img, filter_type=ftype)),
+                "meta_width": None, "meta_height": None,
+                "meta_sample_rate": None, "meta_n_frames": None,
+                "ts": ts}
+
+    batches = [
+        # A + pixel-identical re-encode 30 s later: in-window dup drops
+        [rec("a1", img_a, 0, t0),
+         rec("a2", img_a, 2, t0 + dt.timedelta(seconds=30))],
+        # B one hour on: advances the watermark past A's expiry
+        [rec("b1", img_b, 0, t0 + dt.timedelta(hours=1))],
+        # C: the batch whose END actually evicts A's expired state
+        # (dropDuplicatesWithinWatermark checks dups BEFORE evicting)
+        [rec("c1", img_c, 0, t0 + dt.timedelta(hours=1, minutes=1))],
+        # A again, two hours on: its state expired -> re-emits
+        [rec("a3", img_a, 1, t0 + dt.timedelta(hours=2))],
+    ]
+    src = str(tmp_path / "img_dedup_wm")
+    os.makedirs(src)
+    base = _t.time() - 1000
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "media_id": [r["media_id"] for r in rows],
+            "kind": [r["kind"] for r in rows],
+            "payload": [r["payload"] for r in rows],
+            "meta_width": pa.array([r["meta_width"] for r in rows],
+                                   type=pa.int32()),
+            "meta_height": pa.array([r["meta_height"] for r in rows],
+                                    type=pa.int32()),
+            "meta_sample_rate": pa.array([r["meta_sample_rate"]
+                                          for r in rows], type=pa.int32()),
+            "meta_n_frames": pa.array([r["meta_n_frames"] for r in rows],
+                                      type=pa.int32()),
+            "ts": pa.array(np.array([int(r["ts"].timestamp() * 1e6)
+                                     for r in rows],
+                           dtype="datetime64[us]"))})
+        f = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (base + i * 2, base + i * 2))
+
+    schema = T.StructType(list(multimodal.MEDIA_SCHEMA.fields)
+                          + [T.StructField("ts", T.TimestampType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming.run_to_memory(
+        streaming.image_dedup_stream(stream, watermark_col="ts",
+                                     watermark="10 minutes"), "img_wm")
+    got = sorted(r.media_id
+                 for r in spark.sql("select * from img_wm").collect())
+    # a2 (in-window dup) dropped; a3 survives because A's state expired
+    assert got == ["a1", "a3", "b1", "c1"]
+    # and the ts column is really on the output (the watermark carrier)
+    assert "ts" in spark.sql("select * from img_wm").columns
+    q.stop()
