@@ -869,6 +869,62 @@ def q_audio_decode_stats(spark, sf_dir):
         F.round("amp_std", 6).alias("amp_std"))
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image near-dup PAIR TOPOLOGY under the driver value hash: the
+    pHash dedup stage exactly as jobs/run_image_dedup.py runs it —
+    8x8-bit pigeonhole banding over 64-bit hashes + exact
+    bit_count(xor) hamming verify (dedup.hamming_pairs, bits=64,
+    bands=8, max_hamming=6). DuckDB cannot recompute the DCT pHash
+    itself (that decode math is value-hashed via image_decode_stats),
+    so the hashes here are engine-identical LITERALS: two 31-bit poly
+    hashes of md5(doc_id) assembled into one 62-bit bigint, plus a
+    1-bit-flipped twin per doc so nonzero-hamming pairs exist at every
+    sf. Pins the banding arithmetic, the pair dedup, and the hamming
+    verify the image flagship depends on."""
+    docs = _docs_str(spark, sf_dir)
+    h1 = F.expr(dedup.poly_hash_expr("md5(doc_id)"))
+    h2 = F.expr(dedup.poly_hash_expr("md5(concat(doc_id, '_x'))"))
+    base = docs.select(
+        "doc_id", (h1 * F.lit(1 << 31) + h2).alias("phash"))
+    twin = base.select(
+        F.concat_ws("_", "doc_id", F.lit("t")).alias("doc_id"),
+        F.expr("phash ^ shiftleft(cast(1 as bigint), "
+               "cast(phash % 61 as int))").alias("phash"))
+    return dedup.hamming_pairs(base.unionByName(twin), "phash", "doc_id",
+                               max_hamming=6, bands=8, bits=64)
+
+
+_PQ_M, _PQ_CODES, _PQ_DSUB = 4, 16, 16
+
+
+def _pq_codebooks():
+    """Data-independent literal PQ codebooks (m=4 subspaces x 16 codes x
+    dsub=16): entries k/8 with k = ((19c + 7t + 3j) mod 17) - 8, so
+    every entry and every ||c||^2 partial sum is EXACT in binary64 —
+    summation order cannot change the oracle's distances."""
+    import numpy as np
+
+    return np.array([[[(((19 * c + 7 * t + 3 * j) % 17) - 8) / 8.0
+                       for t in range(_PQ_DSUB)]
+                      for c in range(_PQ_CODES)]
+                     for j in range(_PQ_M)])
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ ANN under the driver value hash: pq_encode (vectorized
+    nearest-codeword argmin per subspace) -> pq_topk ADC scoring (LUT
+    gather over m-byte codes) -> exact cosine re-rank of the top-40.
+    The query vector is (3, 4)-sparse so ||q|| = 5 exactly and each
+    subspace LUT row has at most one nonzero term — ADC scores are
+    bit-identical between numpy and DuckDB's sequential folds."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks()
+    codes = similarity.pq_encode(emb, cb)
+    q = [0.0] * 64
+    q[1], q[17] = 3.0, 4.0
+    return similarity.pq_topk(codes, cb, q, k=10, rerank_with=emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most the first ~50 entries
     # (round 2 registered 52 and exactly the first 50 got CORRECTNESS rows,
@@ -885,7 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "asof_join": q_asof_join,
         "image_decode_stats": q_image_decode_stats,
-        "asof_join_salted": q_asof_join_salted,
+        "phash_neardup": q_phash_neardup,
         "quantile_bins": q_quantile_bins,
         "salted_agg": q_salted_agg,
         "backfill": q_backfill,
@@ -924,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "similarity_topk": q_similarity_topk,
-        "embedding_neardup": q_embedding_neardup,
+        "pq_topk": q_pq_topk,
         "extract_features": q_extract_features,
         "feature_asof": q_feature_asof,
         "lsh_topk": q_lsh_topk,
@@ -939,6 +995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r3 item #2). Both oracles still run in the pytest gate.
         "asof_join_strict": q_asof_join_strict,
         "asof_join_pandas": q_asof_join_pandas,
+        # r6: asof_join_salted yielded its top-50 slot to phash_neardup
+        # (VERDICT r5 item 4) and embedding_neardup (brute-force O(n^2)
+        # pair baseline, redundant with the in-cap LSH form) yielded to
+        # pq_topk (item 5); both oracles still run in the pytest gate.
+        "asof_join_salted": q_asof_join_salted,
+        "embedding_neardup": q_embedding_neardup,
         "audio_decode_stats": q_audio_decode_stats,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
@@ -1463,6 +1525,33 @@ with sims as ({_simhash_sql(_DOUBLED)}),
 select id_a, id_b, hamming from cand where hamming <= 3
 """
 
+    # phash_neardup: the IMAGE dedup banding config (64-bit hash, 8x8-bit
+    # bands, hamming <= 6) over engine-identical literal hashes — two
+    # 31-bit poly hashes of md5(doc_id) packed into 62 bits, plus a
+    # 1-bit-flipped twin per doc
+    _PH1 = dedup.duckdb_poly_hash("md5(doc_id)")
+    _PH2 = dedup.duckdb_poly_hash("md5(doc_id || '_x')")
+    sql["phash_neardup"] = f"""
+with ph_base as (
+    select doc_id, ({_PH1} * 2147483648 + {_PH2}) as phash from {_DOCS}),
+  ph_twin as (
+    select doc_id || '_t' as doc_id,
+           xor(phash, (cast(1 as bigint) << cast(phash % 61 as int)))
+             as phash
+    from ph_base),
+  ph_all as (select * from ph_base union all select * from ph_twin),
+  ph_keyed as (
+    select doc_id, phash, b.b as band, (phash >> (8 * b.b)) & 255 as bval
+    from ph_all cross join
+         (select unnest([0, 1, 2, 3, 4, 5, 6, 7]) as b) b),
+  ph_cand as (
+    select distinct x.doc_id as id_a, y.doc_id as id_b,
+      cast(bit_count(xor(x.phash, y.phash)) as int) as hamming
+    from ph_keyed x join ph_keyed y
+      on x.band = y.band and x.bval = y.bval and x.doc_id < y.doc_id)
+select id_a, id_b, hamming from ph_cand where hamming <= 6
+"""
+
     # sampling bucket = poly hash of md5 hex (md5 diffuses, poly fold is
     # engine-identical — see sampling._bucket)
     _H_ID = dedup.duckdb_poly_hash("md5(doc_id)")
@@ -1612,6 +1701,55 @@ with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
            from embeddings)
 select a.vec_id, round({cos}, 6) as cosine
 from e a, (select v from e order by vec_id limit 1) b
+order by cosine desc, a.vec_id asc
+limit 10
+"""
+
+    # pq_topk: literal formula codebooks (entries k/8 -> ||c||^2 partial
+    # sums exact in binary64, so summation order is irrelevant), per-row
+    # normalize + nearest-codeword argmin (min over (d2, c) structs ==
+    # numpy argmin-first tiebreak), (3,4)-sparse query (norm exactly 5,
+    # one LUT term per subspace -> bit-identical ADC), exact cosine
+    # re-rank of the top-40 ADC candidates
+    sql["pq_topk"] = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+  un as (select vec_id,
+      list_transform(v, x -> x / sqrt(list_reduce(
+        list_prepend(cast(0.0 as double), list_transform(v, w -> w * w)),
+        (p, q) -> p + q))) as uv
+    from e),
+  jc as (select j.j as j, c.c as c
+         from (select unnest(range(0, 4)) as j) j
+         cross join (select unnest(range(0, 16)) as c) c),
+  dist as (select vec_id, j, c,
+      list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(range(0, 16), t ->
+          ((((19*c + 7*t + 3*j) % 17) - 8) / 8.0)
+          * ((((19*c + 7*t + 3*j) % 17) - 8) / 8.0))), (p, q) -> p + q)
+    - 2 * list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(range(0, 16), t ->
+          uv[16*j + t + 1] * ((((19*c + 7*t + 3*j) % 17) - 8) / 8.0))),
+        (p, q) -> p + q) as d2
+    from un cross join jc),
+  pqcodes as (select vec_id, j, min(struct_pack(d := d2, c := c)).c as code
+              from dist group by vec_id, j),
+  adc as (select vec_id, round(
+        ((((19 * c0 + 7 * 1 + 3 * 0) % 17) - 8) / 8.0) * (3.0 / 5.0)
+      + ((((19 * c1 + 7 * 1 + 3 * 1) % 17) - 8) / 8.0) * (4.0 / 5.0), 6)
+      as adc_score
+    from (select vec_id,
+            max(case when j = 0 then code end) as c0,
+            max(case when j = 1 then code end) as c1
+          from pqcodes group by vec_id)),
+  cand as (select vec_id from adc
+           order by adc_score desc, vec_id asc limit 40)
+select a.vec_id, round({cos}, 6) as cosine
+from e a
+join cand on a.vec_id = cand.vec_id
+cross join (select list_transform(range(0, 64),
+    i -> cast(case when i = 1 then 3.0 when i = 17 then 4.0
+              else 0.0 end as double)) as v) b
 order by cosine desc, a.vec_id asc
 limit 10
 """
