@@ -159,18 +159,32 @@ def _kmeans_unit(sample: np.ndarray, n_cells: int,
     return cents
 
 
+def _driver_sample(emb: DataFrame, id_col: str, vec_col: str,
+                   sample_rows: int, seed: int = 42) -> np.ndarray:
+    """Bounded deterministic driver-side sample: rows ranked by a seeded
+    avalanche hash of the id (compiles to TakeOrdered — per-partition
+    heap + driver merge, never a full sort), so the sample is
+    pseudo-random yet reproducible across runs and cluster sizes. An
+    id-prefix sample (orderBy(id).limit) is biased when early ids are
+    unrepresentative — e.g. data appended source-by-source."""
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                     F.col(id_col))
+            .limit(sample_rows).collect())
+    return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
 def ivf_centroids_from_sample(emb, n_cells: int = 8,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               iters: int = 5,
-                              sample_rows: int = 1024) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample of ``sample_rows``
-    rows (centroid count is tiny; training on a bounded sample is the
-    standard IVF recipe — clustering cost is O(sample), independent of
-    corpus size)."""
-    sample = np.array([list(r[vec_col]) for r in
-                       emb.orderBy(id_col).limit(sample_rows).collect()],
-                      dtype=np.float64)
+                              sample_rows: int = 1024,
+                              seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a seeded-hash driver-side sample of
+    ``sample_rows`` rows (centroid count is tiny; training on a bounded
+    sample is the standard IVF recipe — clustering cost is O(sample),
+    independent of corpus size)."""
+    sample = _driver_sample(emb, id_col, vec_col, sample_rows, seed)
     return _kmeans_unit(sample, n_cells, iters)
 
 
@@ -179,7 +193,11 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      n_planes: int = 8, n_cells: int = 8,
                      sample_rows: int = 512, n_queries: int = 8,
-                     max_probe: int = 16, seed: int = 42) -> dict:
+                     max_probe: int = 16, seed: int = 42,
+                     memory_budget_bytes: int | None = None,
+                     pq_m: int = 8, pq_codes: int = 64,
+                     rerank_factor: int = 4,
+                     n_rows: int | None = None) -> dict:
     """ANN index auto-selection: estimate neighbor hardness with a
     sampled recall probe and choose sign-LSH (+ its n_probe) or IVF
     (+ its n_probe).
@@ -198,12 +216,21 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
     ``recall_target``; ties and misses fall back to IVF, the
     sweep-proven robust default.
 
+    At 10^12 vectors the decision is not recall-vs-scan alone: the RAW
+    float32 index may simply not fit executor memory. With
+    ``memory_budget_bytes`` set, the selector also estimates index
+    bytes (raw = n_rows x dim x 4; PQ codes = n_rows x pq_m) and, when
+    raw exceeds the budget, restricts the choice to the PQ-coded family
+    — IVF-PQ with the cheapest n_probe whose SIMULATED
+    cell-prune + ADC-top-(k x rerank_factor) recall meets the target
+    (exact re-rank makes precision exact, so candidate coverage IS the
+    recall). ``n_rows`` sizes the estimate (counted if None).
+
     Returns a dict with the decision (``index``, ``n_probe``) plus the
     full probe diagnostics (per-config recall and scan fractions, mean
-    true-neighbor cosine) so the choice is auditable."""
-    sample = np.array([list(r[vec_col]) for r in
-                       emb.orderBy(id_col).limit(sample_rows).collect()],
-                      dtype=np.float64)
+    true-neighbor cosine, index-bytes estimates) so the choice is
+    auditable."""
+    sample = _driver_sample(emb, id_col, vec_col, sample_rows, seed)
     n, dim = sample.shape
     if n < 4 * k:
         raise ValueError(
@@ -253,27 +280,87 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
         ivf_recall[np_] = round(rec / len(qidx), 4)
         ivf_scan[np_] = round(scan / len(qidx), 4)
 
-    # --- decide: cheapest config meeting the target; IVF on a miss ---
-    candidates = []
-    for np_ in lsh_probes:
-        if lsh_recall[np_] >= recall_target:
-            candidates.append((lsh_scan[np_], 0, "lsh", np_,
-                               lsh_recall[np_]))
-    for np_ in ivf_probes:
-        if ivf_recall[np_] >= recall_target:
-            candidates.append((ivf_scan[np_], 1, "ivf", np_,
-                               ivf_recall[np_]))
-    if candidates:
-        candidates.sort()
-        _, _, index, n_probe, est = candidates[0]
-    else:   # nothing meets target on the sample: IVF at its best probe
-        n_probe = max(ivf_probes, key=lambda p: ivf_recall[p])
-        index, est = "ivf", ivf_recall[n_probe]
+    # --- IVF-PQ probe: same cells, scoring by ADC over sample-trained
+    # codebooks; recall = coverage of the ADC top-(k x rerank_factor)
+    # inside the probed cells (the exact re-rank recovers order) ---
+    ivfpq_recall: dict[int, float] = {}
+    if dim % pq_m == 0 and n >= 4 * pq_m:
+        dsub = dim // pq_m
+        ncb = int(min(pq_codes, max(2, n // 4)))
+        cbs = np.stack([
+            _kmeans_l2(np.ascontiguousarray(
+                unit[:, j * dsub:(j + 1) * dsub]), ncb, 8)
+            for j in range(pq_m)])
+        c_sq = (cbs ** 2).sum(axis=2)
+        pq_assign = np.empty((n, pq_m), dtype=np.int64)
+        for j in range(pq_m):
+            X = unit[:, j * dsub:(j + 1) * dsub]
+            pq_assign[:, j] = np.argmin(
+                c_sq[j][None, :] - 2.0 * (X @ cbs[j].T), axis=1)
+        for np_ in ivf_probes:
+            rec = 0.0
+            for row, qi in enumerate(qidx):
+                qv = unit[qi]
+                lut = np.stack([cbs[j] @ qv[j * dsub:(j + 1) * dsub]
+                                for j in range(pq_m)])
+                adc = lut[np.arange(pq_m)[None, :], pq_assign].sum(axis=1)
+                cells = np.argsort(-(qv @ cents.T),
+                                   kind="stable")[:np_]
+                masked = np.where(np.isin(assign, cells), adc, -np.inf)
+                masked[qi] = -np.inf
+                cand = np.argsort(-masked, kind="stable")
+                cand = [int(c) for c in cand[:k * rerank_factor]
+                        if np.isfinite(masked[c])]
+                rec += len(set(cand) & set(true_topk[row])) / k
+            ivfpq_recall[np_] = round(rec / len(qidx), 4)
+
+    # --- memory estimate: the 10^12-row decision axis ---
+    if n_rows is None and memory_budget_bytes is not None:
+        n_rows = emb.count()
+    index_bytes = None
+    if n_rows is not None:
+        index_bytes = {"raw": int(n_rows) * dim * 4,
+                       "pq": int(n_rows) * pq_m}
+    budget_forces_pq = (memory_budget_bytes is not None
+                        and index_bytes is not None
+                        and index_bytes["raw"] > memory_budget_bytes)
+
+    # --- decide: cheapest config meeting the target; IVF on a miss;
+    # under a budget the raw index cannot honor, only the PQ-coded
+    # family is eligible ---
+    if budget_forces_pq and ivfpq_recall:
+        ok = [(ivf_scan[p], p) for p in ivf_probes
+              if ivfpq_recall[p] >= recall_target]
+        if ok:
+            n_probe = min(ok)[1]
+        else:
+            n_probe = max(ivf_probes, key=lambda p: ivfpq_recall[p])
+        index, est = "ivfpq", ivfpq_recall[n_probe]
+    else:
+        candidates = []
+        for np_ in lsh_probes:
+            if lsh_recall[np_] >= recall_target:
+                candidates.append((lsh_scan[np_], 0, "lsh", np_,
+                                   lsh_recall[np_]))
+        for np_ in ivf_probes:
+            if ivf_recall[np_] >= recall_target:
+                candidates.append((ivf_scan[np_], 1, "ivf", np_,
+                                   ivf_recall[np_]))
+        if candidates:
+            candidates.sort()
+            _, _, index, n_probe, est = candidates[0]
+        else:   # nothing meets target on the sample: IVF at best probe
+            n_probe = max(ivf_probes, key=lambda p: ivf_recall[p])
+            index, est = "ivf", ivf_recall[n_probe]
     return {"index": index, "n_probe": n_probe,
             "est_recall": est, "recall_target": recall_target,
             "mean_neighbor_cosine": round(mean_neighbor_cos, 4),
             "lsh_recall": lsh_recall, "lsh_scan_frac": lsh_scan,
             "ivf_recall": ivf_recall, "ivf_scan_frac": ivf_scan,
+            "ivfpq_recall": ivfpq_recall,
+            "index_bytes": index_bytes,
+            "memory_budget_bytes": memory_budget_bytes,
+            "budget_forces_pq": budget_forces_pq, "pq_m": pq_m,
             "n_sample": n, "n_planes": n_planes, "n_cells": n_cells}
 
 
@@ -572,9 +659,7 @@ def train_pq(emb: DataFrame, m: int = 8, n_codes: int = 256,
     Why PQ at 10^12 vectors: a dim-64 float32 embedding is 256 bytes;
     its PQ code is ``m`` bytes (32x compression at m=8) — the index that
     decides whether candidate scoring is RAM-resident per executor."""
-    sample = np.array([list(r[vec_col]) for r in
-                       emb.orderBy(id_col).limit(sample_rows).collect()],
-                      dtype=np.float64)
+    sample = _driver_sample(emb, id_col, vec_col, sample_rows)
     n, dim = sample.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
