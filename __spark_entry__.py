@@ -815,6 +815,47 @@ def q_image_phash(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_media_report(spark, sf_dir):
+    """Unified per-MEDIA report across the web-ingest matrix: still
+    PNG/JPEG images AND motion media (animated GIF, MJPEG-AVI) in one
+    operator — numeric report features aggregated mean/max over 4
+    evenly-spaced frames (stills are the 1-frame special case).
+    Rows-only (the 2-D report DAG has no SQL form); frame-aggregation
+    parity vs per-frame report_image_arrays is pytest-pinned
+    (tests/test_lineage_multimodal.py)."""
+    import numpy as np
+
+    from photohive_spark import gif, jpeg, multimodal, png, video
+
+    rows = []
+    for i in range(8):
+        rng = np.random.default_rng(3000 + i)
+        hh, ww = 16 + (i % 4) * 8, 24
+        grad = (np.arange(ww) * (3 + i)).astype(np.int64) % 256
+        img = ((rng.integers(0, 256, (hh, ww, 3)) + grad[None, :, None])
+               % 256).astype(np.uint8)
+        payload = png.encode_png(img) if i % 2 == 0 \
+            else jpeg.encode_jpeg(img, quality=92)
+        rows.append((f"still{i}", "image", payload, ww, hh, None, None))
+    for i in range(4):
+        rng = np.random.default_rng(3100 + i)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        frames = [rng.integers(0, 8, (18, 22), dtype=np.uint8)
+                  for _ in range(5 + i)]
+        rows.append((f"anim{i}", "video", gif.encode_gif(frames, palette=pal),
+                     22, 18, None, None))
+    for i in range(4):
+        rng = np.random.default_rng(3200 + i)
+        frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                  for _ in range(4 + i)]
+        rows.append((f"vid{i}", "video",
+                     video.encode_avi_mjpeg(frames, quality=95),
+                     24, 16, None, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    return multimodal.media_report(media, n_sample=4) \
+        .orderBy("media_id")
+
+
 def q_audio_decode_stats(spark, sf_dir):
     """REAL audio (PCM WAV) decode under an exact oracle: 40 formula
     waveforms (s16 = ((i*9973 + t*6151) % 65536) - 32768) written by
@@ -1013,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "image_report": q_image_report,
         "image_phash": q_image_phash,
+        "media_report": q_media_report,
     }
 
 

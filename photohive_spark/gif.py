@@ -228,7 +228,18 @@ def _decode_gif(data: bytes) -> dict:
         screen[iy:iy + ih, ix:ix + iw] = rgb
         frames.append(screen.copy())
         durations.append(delay_ms)
-        if disposal == 2:           # restore to background
+        if disposal == 2:
+            # Restore-to-background POLICY: the region is always reset
+            # to the logical-screen background COLOR, including for
+            # GIF89a streams that use transparency. The spec says
+            # "background color"; common renderers (browsers) instead
+            # restore to TRANSPARENT there, leaving the page visible.
+            # This decoder composites onto an opaque RGB canvas with no
+            # alpha channel, so the background color IS the stand-in
+            # for "transparent" — a deliberate, documented divergence:
+            # frames following a disposal-2 + transparency frame can
+            # differ from a browser's compositing wherever the browser
+            # would have shown underlying page content.
             screen[iy:iy + ih, ix:ix + iw] = bg_rgb
         elif disposal == 3:         # restore to previous
             screen[iy:iy + ih, ix:ix + iw] = prev_region

