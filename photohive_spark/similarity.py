@@ -816,3 +816,158 @@ def ivfpq_topk(spark, path: str, centroids: np.ndarray,
     codes = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
     return pq_topk(codes, codebooks, query_vec, k, id_col,
                    rerank_with, vec_col, rerank_factor)
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: random projection (JL) and PCA
+# ---------------------------------------------------------------------------
+#
+# The 10^12-vector preprocessing steps that FEED the ANN indexes above:
+# a Johnson-Lindenstrauss random projection shrinks dim (and with it the
+# raw-index bytes choose_ann_index budgets over) in one shuffle-free
+# pass, and PCA does the same with data-derived axes at the cost of one
+# extra bounded aggregation pass. The reference's fixed feature vector
+# (report.h:136-196, 75-ish floats) is the 1-image analogue of these
+# embedding rows; these operators are the corpus-scale transforms a
+# training-data pipeline applies to them.
+
+
+def rp_matrix_formula(out_dim: int, in_dim: int,
+                      seed: int = 5) -> np.ndarray:
+    """Deterministic formula-based projection matrix (out_dim, in_dim):
+    entry(j, i) = (((19*j + 7*i + seed) % 17) - 8) / 8.0 — the same
+    seeded-literal family as the PQ oracle codebooks, so a DuckDB oracle
+    can regenerate it arithmetically inside static SQL (no data-derived
+    constants; see the oracle-determinism rule that data-dependent
+    constants cannot live in oracle SQL). Entries are 17-level
+    pseudo-uniform in [-1, 1]; for production use prefer
+    ``rp_matrix_gaussian`` (better JL constants), which the gate cannot
+    oracle but the pytest parity covers."""
+    j = np.arange(out_dim)[:, None]
+    i = np.arange(in_dim)[None, :]
+    return (((19 * j + 7 * i + seed) % 17) - 8) / 8.0
+
+
+def rp_matrix_gaussian(out_dim: int, in_dim: int,
+                       seed: int = 5) -> np.ndarray:
+    """Seeded N(0, 1/out_dim) JL projection matrix — the standard
+    distance-preserving choice (Johnson-Lindenstrauss: k = O(log n /
+    eps^2) rows preserve pairwise distances within 1 +- eps)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def rp_project(emb: DataFrame, matrix: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               out_col: str = "proj",
+               center: np.ndarray | None = None) -> DataFrame:
+    """Project every embedding through ``matrix`` (out_dim, in_dim):
+    one GEMM per Arrow batch, shuffle-free mapInPandas (the pq_encode
+    shape) — at 10^12 rows this is a pure map stage whose output is
+    out_dim/in_dim of the input bytes. ``center`` (in_dim,) is
+    subtracted first when given (PCA's mean-centering); the identity
+    for plain JL. Output: (id, array<double> proj)."""
+    import pandas as pd
+
+    M = np.ascontiguousarray(matrix, dtype=np.float64)
+    mu = (np.zeros(M.shape[1]) if center is None
+          else np.asarray(center, dtype=np.float64))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64) - mu
+            P = V @ M.T
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: list(P)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, {out_col} array<double>")
+
+
+def rp_project_expr(emb: DataFrame, out_dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 5, round_dp: int = 6) -> DataFrame:
+    """JVM-expression form of the formula random projection: each output
+    component is a sequential left fold (F.aggregate) over the input
+    array — whole-stage-codegen, no Python — emitted as ``out_dim``
+    rounded scalar columns p0..p{out_dim-1} so the frame is
+    driver-canonicalizer-safe AND hash-matchable against a DuckDB
+    list_reduce oracle (sequential folds agree bit-for-bit across the
+    engines; see the oracle-determinism rules). Exact-parity with the
+    GEMM path is pinned in tests at round_dp decimals."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        # x_i * entry(j, i), entry regenerated arithmetically in-loop
+        # (two-arg transform lambda: 0-based index; DuckDB's is 1-based)
+        prods = F.transform(
+            v, lambda x, i: x * ((((F.lit(19 * j) + F.lit(7) * i
+                                    + F.lit(seed)) % 17) - 8) / 8.0))
+        body = F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+        cols.append(F.round(body, round_dp).alias(f"p{j}"))
+    return emb.select(*cols)
+
+
+def pca_train(emb: DataFrame, n_components: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> dict:
+    """Exact corpus PCA statistics in ONE shuffle-free pass: each Arrow
+    batch emits a single partial row (count, sum vector, flattened Gram
+    matrix X^T X) — ``num_partitions``-ish rows total, reduced on the
+    driver (the bounded-collect pattern train_pq uses; a d=64 Gram is
+    4096 doubles, so even 10^5 partials is ~3 GB streamed, and the
+    reduce is associative so a two-level treeReduce via coalesce is the
+    escape hatch far before that). Covariance = Gram/n - mu mu^T; numpy
+    eigh on the driver (d x d, trivial) gives components.
+
+    Returns {"mean": (d,), "components": (n_components, d),
+    "explained_var": (n_components,)} with deterministic sign
+    convention (largest-|.| coefficient of each component positive).
+    Project with ``pca_project``."""
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [len(V)],
+                "s": [V.sum(axis=0)],
+                "g": [(V.T @ V).ravel()]})
+
+    rows = emb.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>").collect()
+    if not rows:
+        raise ValueError("pca_train: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros(d * d)
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"])
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T                   # (k, d)
+    # deterministic sign: flip so each component's max-|coef| entry > 0
+    for c in comps:
+        piv = int(np.argmax(np.abs(c)))
+        if c[piv] < 0:
+            c *= -1.0
+    return {"mean": mu, "components": comps,
+            "explained_var": np.maximum(evals[order], 0.0)}
+
+
+def pca_project(emb: DataFrame, model: dict,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                out_col: str = "proj") -> DataFrame:
+    """Center by the trained mean and project onto the principal axes —
+    the same shuffle-free GEMM map stage as rp_project, with the model
+    broadcast in the task closure."""
+    return rp_project(emb, model["components"], id_col, vec_col,
+                      out_col, center=model["mean"])

@@ -197,3 +197,54 @@ def length_percentiles_approx(tokens_df: DataFrame, len_col: str = "n_tok",
     cols = [F.element_at("_p", i + 1).alias(f"p{round(q * 100)}")
             for i, q in enumerate(qs)]
     return g.select(group_col, "n_docs", *cols).orderBy(group_col)
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 document ranking for a literal term query — the retrieval
+    scorer a training-data pipeline uses for decontamination triage and
+    topic-targeted corpus slicing (rank the corpus against a benchmark
+    prompt, then audit/drop the head).
+
+    Plan, sized for 10^12 docs: tokenize (whitespace, like token_counts)
+    -> per-doc length -> explode ONLY rows matching the query-term
+    filter (the isin predicate prunes the exploded stream immediately;
+    non-matching tokens never reach a shuffle) -> groupBy(doc, term)
+    term frequencies -> df per term (<= |query| rows, broadcast back)
+    -> per-term BM25 contribution -> per-doc sum -> TakeOrdered top-k.
+    Corpus stats (N, total length) ride along as a broadcast 1-row
+    crossJoin. Shuffles only the matched-term rows; never the corpus.
+
+    Determinism (gate rules): each (doc, term) contribution is rounded
+    to integer MICRO-points before the per-doc sum, so the sum is an
+    exact order-independent bigint; ties break on id. Output:
+    (id, n_terms int, score_micro bigint) with score_micro =
+    round(1e6 * sum-of-term-scores)."""
+    terms = [t for t in query_terms]
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)")
+         .alias("tokens"))
+    dl = toks.select(id_col, F.size("tokens").cast("bigint").alias("dl"),
+                     "tokens")
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    hits = (dl.select(id_col, "dl", F.explode("tokens").alias("t"))
+            .where(F.col("t").isin(terms)))
+    tf = hits.groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_), on="t")
+              .crossJoin(F.broadcast(stats)))
+    # expression order mirrors the oracle SQL verbatim (IEEE parity)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * (F.col("dl") / avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    micro = F.round(contrib * 1e6).cast("bigint")
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.sum(micro).alias("score_micro"),
+                    F.count("*").cast("int").alias("n_terms")))
+    return (per_doc.select(id_col, "n_terms", "score_micro")
+            .orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k))
