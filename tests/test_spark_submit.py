@@ -251,3 +251,71 @@ def test_spark_submit_run_image_dedup(tmp_path, spark):
                          if l.startswith("{")][-1])
     assert stats2["hashes_reused"] is True
     assert stats2["media_kept"] == stats["media_kept"]
+
+
+def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
+    """End-to-end curation job: quality gate, exact + near dedup,
+    benchmark decontamination, deterministic train/val split — with
+    per-stage drop accounting and resumable writes."""
+    import pyspark.sql.functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(40))
+    dups = (docs.limit(10)
+            .select(F.concat(F.lit("dup_"), "doc_id").alias("doc_id"),
+                    "text"))
+    junk = spark.createDataFrame(
+        [("junk_0", "!!! ??? %%% !!!"), ("junk_1", "@@ ## $$ %% ^^ &&")],
+        ["doc_id", "text"])
+    corpus_path = str(tmp_path / "corpus.parquet")
+    docs.unionByName(dups).unionByName(junk).write.parquet(corpus_path)
+
+    # benchmark = exact copies of three surviving originals -> their
+    # pooled 3-gram overlap is 1.0 and decontamination must drop them
+    bench_path = str(tmp_path / "bench.parquet")
+    (docs.orderBy("doc_id").limit(3)
+         .select(F.concat(F.lit("b_"), "doc_id").alias("doc_id"), "text")
+         .write.parquet(bench_path))
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "curated")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_curation.py"),
+           "--docs", corpus_path, "--output", out,
+           "--min-quality", "0.2", "--threshold", "0.9",
+           "--hash", "fast", "--n-buckets", "4",
+           "--benchmark", bench_path, "--contam-threshold", "0.5",
+           "--val-rate", "0.1",
+           "--pairs-dir", str(tmp_path / "pairs")]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["n_docs"] == 52
+    assert stat["quality_dropped"] == 2           # both junk docs
+    assert stat["exact_dup_dropped"] >= 10        # every planted dup
+    assert stat["contamination_dropped"] >= 1     # benchmark copies
+    assert stat["docs_kept"] == stat["n_train"] + stat["n_val"]
+
+    from photohive_spark import lineage
+    train = {x.doc_id for x in
+             lineage.read_result(spark, f"{out}/train")
+             .select("doc_id").collect()}
+    val = {x.doc_id for x in
+           lineage.read_result(spark, f"{out}/val")
+           .select("doc_id").collect()}
+    assert len(train) == stat["n_train"] and len(val) == stat["n_val"]
+    assert not (train & val)                      # leak-free split
+    assert not any(d.startswith(("dup_", "junk_")) for d in train | val)
+
+    # resume: zero buckets rewritten, pair stage reused
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    stat2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stat2["train_buckets_run"] == 0
+    assert stat2["val_buckets_run"] == 0
+    assert stat2["pairs_reused"] is True
+    assert stat2["docs_kept"] == stat["docs_kept"]
