@@ -144,3 +144,50 @@ def test_rp_project_is_single_map_stage(spark, emb):
     plan = similarity.rp_project(emb, M)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _py_bm25(corpus: dict, terms, k1=1.2, b=0.75):
+    """Independent pure-Python BM25 (micro-points), straight from the
+    published formula — no shared code with text.bm25_topk."""
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    out = {}
+    for d, t in toks.items():
+        total, hit = 0, 0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            total += round(idf * (tf * (k1 + 1.0))
+                           / (tf + k1 * (1 - b + b * (len(t) / avgdl)))
+                           * 1e6)
+        if hit:
+            out[d] = (hit, total)
+    return out
+
+
+def test_bm25_seeded_random_sweep(spark):
+    """Seeded sweep: 6 random corpora (varying vocab, doc count, doc
+    length) — Spark BM25 micro-points equal an independent pure-Python
+    implementation exactly, for every scored doc."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        vocab = [f"w{v}" for v in range(int(rng.integers(3, 12)))]
+        n_docs = int(rng.integers(2, 25))
+        corpus = {
+            f"d{i:02d}": " ".join(rng.choice(vocab,
+                                             size=int(rng.integers(1, 40))))
+            for i in range(n_docs)}
+        terms = list(rng.choice(vocab, size=min(3, len(vocab)),
+                                replace=False))
+        want = _py_bm25(corpus, terms)
+        got = {r["doc_id"]: (r["n_terms"], r["score_micro"])
+               for r in text.bm25_topk(
+                   spark.createDataFrame(list(corpus.items()),
+                                         ["doc_id", "text"]),
+                   terms, k=10_000).collect()}
+        assert got == want, f"trial {trial}"
