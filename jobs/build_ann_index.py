@@ -9,6 +9,7 @@ Usage:
       --embeddings /path/to/embeddings_parquet --output /path/to/index \\
       --kind lsh [--n-planes 8] [--seed 42]
   spark-submit ... --kind ivf [--n-cells 64] [--sample 1024]
+  spark-submit ... --kind ivfpq [--n-cells 64] [--pq-m 8] [--pq-codes 256]
 
 The index is the embeddings table written PARTITIONED BY the coarse key
 (LSH bucket id / IVF cell id), so a query scans only its own partition
@@ -34,7 +35,8 @@ def main() -> None:
     ap.add_argument("--embeddings", required=True,
                     help="parquet dir with (vec_id, embedding array<float>)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--kind", choices=["lsh", "ivf", "ivfpq"],
+                    default="lsh")
     ap.add_argument("--dim", type=int, default=None,
                     help="embedding dimension; default: inferred from the "
                          "first row (a wrong dim silently zeroes LSH signs)")
@@ -43,6 +45,10 @@ def main() -> None:
     ap.add_argument("--sample", type=int, default=1024,
                     help="IVF k-means training sample size (driver-side)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspaces (code bytes per vector)")
+    ap.add_argument("--pq-codes", type=int, default=256,
+                    help="codebook entries per subspace (<= 256)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,13 +74,25 @@ def main() -> None:
                                    n_planes=args.n_planes, seed=args.seed)
         meta = {"kind": "lsh", "dim": dim, "n_planes": args.n_planes,
                 "seed": args.seed}
-    else:
+    elif args.kind == "ivf":
         cents = similarity.ivf_centroids_from_sample(
             emb, n_cells=args.n_cells, iters=5, sample_rows=args.sample)
         similarity.write_ivf_index(emb, args.output, cents)
         meta = {"kind": "ivf", "dim": dim, "n_cells": args.n_cells,
                 "sample": args.sample,
                 "centroids": [[float(x) for x in c] for c in cents]}
+    else:   # ivfpq: both pruning axes — cells x m-byte codes
+        cents = similarity.ivf_centroids_from_sample(
+            emb, n_cells=args.n_cells, iters=5, sample_rows=args.sample)
+        cbs = similarity.train_pq(emb, m=args.pq_m, n_codes=args.pq_codes,
+                                  sample_rows=max(args.sample, 2048))
+        similarity.write_ivfpq_index(emb, args.output, cents, cbs)
+        meta = {"kind": "ivfpq", "dim": dim, "n_cells": args.n_cells,
+                "sample": args.sample, "pq_m": args.pq_m,
+                "pq_codes": int(cbs.shape[1]),
+                "centroids": [[float(x) for x in c] for c in cents],
+                "codebooks": [[[float(x) for x in e] for e in cb]
+                              for cb in cbs]}
     # query-side metadata lives NEXT TO the data (like _lineage): a reader
     # needs the same planes/centroids the writer used. Written through the
     # Hadoop FileSystem API so hdfs://... / s3a://... outputs work — a local

@@ -319,3 +319,44 @@ def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
     assert stat2["val_buckets_run"] == 0
     assert stat2["pairs_reused"] is True
     assert stat2["docs_kept"] == stat["docs_kept"]
+
+
+def test_spark_submit_build_ivfpq_index(tmp_path, spark, sf_dir):
+    """build_ann_index --kind ivfpq: one job writes the composite index
+    (cell-partitioned m-byte codes) + centroids AND codebooks in the
+    query-side metadata; a reader reconstructs ivfpq_topk from the
+    on-disk index alone with re-rank recall vs exact >= 0.6 at
+    n_probe=4/8 cells."""
+    import numpy as np
+    from photohive_spark import similarity
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "ivfpq_index")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "build_ann_index.py"),
+           "--embeddings", f"{sf_dir}/embeddings.parquet",
+           "--output", out, "--kind", "ivfpq", "--n-cells", "8",
+           "--pq-m", "8", "--pq-codes", "64"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["kind"] == "ivfpq" and stat["rows"] > 0
+
+    with open(os.path.join(out, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    cents = np.array(meta["centroids"])
+    cbs = np.array(meta["codebooks"])
+    assert cbs.shape == (8, 64, 8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(2).collect()[1].embedding]
+    got = similarity.ivfpq_topk(spark, out, cents, cbs, q, k=10,
+                                n_probe=4, rerank_with=emb)
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    hit = {r2.vec_id for r2 in got.collect()} \
+        & {r2.vec_id for r2 in exact.collect()}
+    assert len(hit) >= 6
