@@ -570,6 +570,16 @@ def q_rp_project(spark, sf_dir):
         _read(spark, sf_dir, "embeddings"), out_dim=8)
 
 
+_BM25_BATCH = [("qa", ["dup", "spark"]), ("qb", ["merge", "window", "hash"])]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Multi-query BM25 (corpus-side work shared across queries;
+    per-query window top-k)."""
+    qdf = spark.createDataFrame(_BM25_BATCH, ["query_id", "terms"])
+    return text.bm25_topk_batch(_docs_str(spark, sf_dir), qdf, k=10)
+
+
 # ---- non-SQL-expressible (rows-only driver check) ----
 #
 # The driver canonicalizes query output with pandas sort_values over ALL
@@ -1084,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the pytest gate.
         "crop_slice": q_crop_slice,
         "minmax_normalize": q_minmax_normalize,
+        "bm25_batch": q_bm25_batch,
         "audio_decode_stats": q_audio_decode_stats,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
@@ -1845,6 +1856,44 @@ from scored
 group by doc_id
 order by score_micro desc, doc_id asc
 limit 20
+"""
+
+    # bm25_batch: same per-term arithmetic; the query table is a VALUES
+    # literal, per-query top-k is row_number over (query_id) — identical
+    # window semantics on both engines (ties broken by doc_id).
+    qvals = ", ".join(f"('{qid}', '{t}')"
+                      for qid, terms in _BM25_BATCH for t in terms)
+    sql["bm25_batch"] = f"""
+with d as (select cast(doc_id as varchar) as doc_id, {_WORDS} as tokens
+           from documents),
+  dl as (select doc_id, cast(len(tokens) as bigint) as dl, tokens from d),
+  stats as (select count(*) as n_docs, cast(sum(dl) as bigint) as sum_dl
+            from dl),
+  q as (select * from (values {qvals}) as v(query_id, t)),
+  hits as (select doc_id, dl, unnest(tokens) as t from dl),
+  tf as (select doc_id, dl, t, count(*) as tf from hits
+         where t in (select distinct t from q) group by 1, 2, 3),
+  tdf as (select t, count(*) as df from tf group by t),
+  scored as (select query_id, doc_id,
+      cast(round(
+        ln(cast(1.0 as double)
+           + (cast(n_docs - df as double) + cast(0.5 as double))
+             / (cast(df as double) + cast(0.5 as double)))
+        * (tf * cast(2.2 as double))
+        / (tf + cast(1.2 as double)
+               * (cast(0.25 as double) + cast(0.75 as double)
+                  * (dl / (cast(sum_dl as double) / n_docs))))
+        * 1e6) as bigint) as micro
+    from tf join tdf using (t) join q using (t) cross join stats),
+  agg as (select query_id, doc_id, cast(count(*) as int) as n_terms,
+                 cast(sum(micro) as bigint) as score_micro
+          from scored group by 1, 2),
+  ranked as (select *, cast(row_number() over (
+                 partition by query_id
+                 order by score_micro desc, doc_id asc) as int) as "rank"
+             from agg)
+select query_id, doc_id, n_terms, score_micro, "rank"
+from ranked where "rank" <= 10
 """
 
     # pq_topk: literal formula codebooks (entries k/8 -> ||c||^2 partial

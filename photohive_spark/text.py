@@ -6,7 +6,7 @@ SQL-expressible for the DuckDB oracle, whole-stage-codegen'd at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 # tiny deterministic stopword lists per language (heuristic, not a model)
@@ -248,3 +248,61 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                     F.count("*").cast("int").alias("n_terms")))
     return (per_doc.select(id_col, "n_terms", "score_micro")
             .orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k))
+
+
+def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    qid_col: str = "query_id",
+                    terms_col: str = "terms") -> DataFrame:
+    """BM25 for a whole TABLE of queries at once — the production
+    retrieval shape (rank the corpus against thousands of benchmark
+    prompts in one pass for decontamination triage, instead of one job
+    per prompt).
+
+    Same scoring and determinism contract as ``bm25_topk``; the
+    differences are scale-structural:
+    - corpus tokenization, doc lengths, per-(doc, term) tf and per-term
+      df are computed ONCE over the union of all queries' terms — adding
+      queries reuses the corpus-side work (the expensive part);
+    - the query table (query_id, terms array<string>) is exploded and
+      BROADCAST onto the tf stream (thousands of queries x tens of terms
+      is kilobytes against a 10^12-doc corpus);
+    - per-query top-k is a window row_number over (query_id), not a
+      global TakeOrdered — one shuffle keyed by query_id over rows
+      already reduced to (query, matched doc).
+
+    Output: (query_id, id, n_terms, score_micro, rank<=k)."""
+    qterms = (queries
+              .select(F.col(qid_col), F.explode(terms_col).alias("t"))
+              .distinct())
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)")
+         .alias("tokens"))
+    dl = toks.select(id_col, F.size("tokens").cast("bigint").alias("dl"),
+                     "tokens")
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    all_terms = qterms.select("t").distinct()
+    hits = (dl.select(id_col, "dl", F.explode("tokens").alias("t"))
+            .join(F.broadcast(all_terms), on="t"))
+    tf = hits.groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_), on="t")
+              .join(F.broadcast(qterms), on="t")
+              .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * (F.col("dl") / avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    micro = F.round(contrib * 1e6).cast("bigint")
+    per_doc = (scored.groupBy(qid_col, id_col)
+               .agg(F.sum(micro).alias("score_micro"),
+                    F.count("*").cast("int").alias("n_terms")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_micro"), F.asc(id_col))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "n_terms", "score_micro", "rank"))

@@ -191,3 +191,23 @@ def test_bm25_seeded_random_sweep(spark):
                                          ["doc_id", "text"]),
                    terms, k=10_000).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_bm25_batch_equals_single(spark, sf_dir):
+    """Batch form restricted to each query reproduces the single-query
+    form exactly (scores AND order), on the real documents table."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("cast(doc_id as string) doc_id", "text"))
+    qs = [("qa", ["dup", "spark"]), ("qb", ["merge", "window", "hash"]),
+          ("qc", ["nosuchterm"])]
+    batch = text.bm25_topk_batch(
+        docs, spark.createDataFrame(qs, ["query_id", "terms"]), k=7)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_terms"], r["score_micro"]))
+    for qid, terms in qs:
+        want = [(i + 1, r["doc_id"], r["n_terms"], r["score_micro"])
+                for i, r in enumerate(
+                    text.bm25_topk(docs, terms, k=7).collect())]
+        assert sorted(got.get(qid, [])) == want, qid
