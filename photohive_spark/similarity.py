@@ -224,7 +224,13 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
     — IVF-PQ with the cheapest n_probe whose SIMULATED
     cell-prune + ADC-top-(k x rerank_factor) recall meets the target
     (exact re-rank makes precision exact, so candidate coverage IS the
-    recall). ``n_rows`` sizes the estimate (counted if None).
+    recall). ``n_rows`` sizes the estimate (counted if None). If the
+    budget forces PQ but the PQ probe could not run (dim not divisible
+    by ``pq_m``, or too few sample rows to train sub-codebooks), the
+    selector falls back to the raw-index family and FLAGS it: the
+    returned dict carries ``budget_violated=True`` and a
+    ``pq_infeasible_reason`` string — callers must treat that as "the
+    chosen index will not fit the stated budget", not as a silent pass.
 
     Returns a dict with the decision (``index``, ``n_probe``) plus the
     full probe diagnostics (per-config recall and scan fractions, mean
@@ -328,6 +334,13 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
     # --- decide: cheapest config meeting the target; IVF on a miss;
     # under a budget the raw index cannot honor, only the PQ-coded
     # family is eligible ---
+    pq_infeasible = None
+    if dim % pq_m != 0:
+        pq_infeasible = (f"dim={dim} not divisible by pq_m={pq_m}; "
+                         f"pass a compatible pq_m to enable the PQ family")
+    elif n < 4 * pq_m:
+        pq_infeasible = (f"sample of {n} rows too small to train "
+                         f"{pq_m} sub-codebooks (need >= {4 * pq_m})")
     if budget_forces_pq and ivfpq_recall:
         ok = [(ivf_scan[p], p) for p in ivf_probes
               if ivfpq_recall[p] >= recall_target]
@@ -361,6 +374,8 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
             "index_bytes": index_bytes,
             "memory_budget_bytes": memory_budget_bytes,
             "budget_forces_pq": budget_forces_pq, "pq_m": pq_m,
+            "pq_infeasible_reason": pq_infeasible,
+            "budget_violated": bool(budget_forces_pq and not ivfpq_recall),
             "n_sample": n, "n_planes": n_planes, "n_cells": n_cells}
 
 

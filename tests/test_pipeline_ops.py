@@ -944,3 +944,14 @@ def test_choose_ann_index_memory_budget_forces_ivfpq(spark):
                                         memory_budget_bytes=10**9)
     assert loose["index"] == "lsh", loose
     assert loose["budget_forces_pq"] is False
+    assert got["budget_violated"] is False
+    assert got["pq_infeasible_reason"] is None
+
+    # budget forces PQ but dim=16 is not divisible by pq_m=5: the
+    # selector must fall back LOUDLY — budget_violated flagged with the
+    # reason — never silently hand back a raw index over budget
+    bad = similarity.choose_ann_index(emb, sample_rows=576, pq_m=5,
+                                      memory_budget_bytes=10_000)
+    assert bad["index"] in ("lsh", "ivf"), bad
+    assert bad["budget_violated"] is True
+    assert "not divisible" in bad["pq_infeasible_reason"]
