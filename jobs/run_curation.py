@@ -88,8 +88,11 @@ def main() -> None:
     n_quality = docs_q.count()
 
     # ---- stage 2: exact dedup (one groupBy on the digest) --------------
+    # docs_e is read again by the shingle fan-out AND the near-dup
+    # anti-join; persist (memory-and-disk) so the quality gate + digest
+    # groupBy run once, not once per downstream action
     reps = dedup.exact_dedup(docs_q).select("doc_id")
-    docs_e = docs_q.join(reps, on="doc_id", how="left_semi")
+    docs_e = docs_q.join(reps, on="doc_id", how="left_semi").persist()
     n_exact = docs_e.count()
 
     # ---- stage 3: near-dup clusters (checkpointed pair stage) ----------
@@ -141,7 +144,12 @@ def main() -> None:
                                      threshold=args.contam_threshold)
     else:
         docs_c = docs_n
+    # docs_c feeds four actions (n_clean, both resumable writes, n_val);
+    # without a persist the decontaminate shingle fan-out — the most
+    # expensive stage after pairs — would recompute for each
+    docs_c = docs_c.persist()
     n_clean = docs_c.count()
+    docs_e.unpersist()
 
     # ---- stage 5: deterministic train/val split + resumable writes -----
     val = sampling.hash_sample(docs_c, args.val_rate)

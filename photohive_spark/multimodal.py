@@ -462,27 +462,12 @@ MEDIA_REPORT_SCHEMA = T.StructType(
 
 
 def _motion_frames(payload: bytes, n_sample: int):
-    """GIF / MJPEG-AVI bytes -> (sampled (H, W, 3) uint8 frames,
-    total frame count). GIF frames are the full composited screens
-    (disposal applied); AVI decodes ONLY the sampled frames."""
+    """GIF / MJPEG-AVI bytes -> (sampled (H, W, 3) uint8 frames, total
+    frame count). Thin alias over the one motion-decode implementation,
+    video.decode_sampled_frames."""
     from . import video as V
 
-    if payload[:4] == b"GIF8":
-        from . import gif
-        frames = gif.decode_gif(payload)["frames"]
-        idxs = V.sample_indices(len(frames), n_sample)
-        return [frames[i] for i in idxs], len(frames)
-    from . import jpeg
-    meta = V.parse_avi(payload)
-    raw = meta["frames"]
-    idxs = V.sample_indices(len(raw), n_sample)
-    out = []
-    for i in idxs:
-        px = jpeg.decode_jpeg(raw[i])
-        if px.shape[2] == 1:
-            px = np.repeat(px, 3, axis=2)
-        out.append(px)
-    return out, len(raw)
+    return V.decode_sampled_frames(payload, n_sample)
 
 
 def media_report_row(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -502,10 +487,8 @@ def media_report_row(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG,
         kind = "video" if n_total > 1 else "image"
         planes = []
         for px in frames:
-            scale = 1.0 / 255.0
-            planes.append((px[:, :, 0].astype(np.float64) * scale,
-                           px[:, :, 1].astype(np.float64) * scale,
-                           px[:, :, 2].astype(np.float64) * scale))
+            p = png.planes_from_uint8(px)
+            planes.append((p["r"], p["g"], p["b"]))
     else:
         p = png.decode_image_rgb(bytes(payload))
         planes, n_total, kind = [(p["r"], p["g"], p["b"])], 1, "image"

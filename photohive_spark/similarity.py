@@ -231,6 +231,9 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
     returned dict carries ``budget_violated=True`` and a
     ``pq_infeasible_reason`` string — callers must treat that as "the
     chosen index will not fit the stated budget", not as a silent pass.
+    ``budget_violated`` is likewise True when even the m-byte PQ codes
+    exceed the budget (the selector still returns the least-infeasible
+    family rather than nothing).
 
     Returns a dict with the decision (``index``, ``n_probe``) plus the
     full probe diagnostics (per-config recall and scan fractions, mean
@@ -375,7 +378,11 @@ def choose_ann_index(emb: DataFrame, k: int = 10,
             "memory_budget_bytes": memory_budget_bytes,
             "budget_forces_pq": budget_forces_pq, "pq_m": pq_m,
             "pq_infeasible_reason": pq_infeasible,
-            "budget_violated": bool(budget_forces_pq and not ivfpq_recall),
+            # violated = the CHOSEN index does not fit the budget: either
+            # the PQ fallback never ran, or even the m-byte codes exceed it
+            "budget_violated": bool(budget_forces_pq and (
+                not ivfpq_recall
+                or index_bytes["pq"] > memory_budget_bytes)),
             "n_sample": n, "n_planes": n_planes, "n_cells": n_cells}
 
 
@@ -674,6 +681,9 @@ def train_pq(emb: DataFrame, m: int = 8, n_codes: int = 256,
     Why PQ at 10^12 vectors: a dim-64 float32 embedding is 256 bytes;
     its PQ code is ``m`` bytes (32x compression at m=8) — the index that
     decides whether candidate scoring is RAM-resident per executor."""
+    if not 2 <= n_codes <= 256:
+        raise ValueError(f"n_codes={n_codes} out of range [2, 256]: codes "
+                         f"are stored as uint8, more would wrap modulo 256")
     sample = _driver_sample(emb, id_col, vec_col, sample_rows)
     n, dim = sample.shape
     if dim % m:

@@ -131,13 +131,16 @@ def sample_indices(n_frames: int, n_sample: int) -> list[int]:
                    for i in range(n_sample)})
 
 
-def decode_frames(data: bytes, n_sample: int | None = None
-                  ) -> list[np.ndarray]:
+def decode_sampled_frames(data: bytes, n_sample: int | None = None
+                          ) -> tuple[list[np.ndarray], int]:
     """Video bytes (MJPEG-AVI, or an animated GIF — the other
-    self-contained web motion format) -> list of (H, W, 3) uint8 RGB
-    frames. ``n_sample`` picks evenly-spaced frames (the
+    self-contained web motion format) -> ((H, W, 3) uint8 RGB frames,
+    TOTAL frame count). ``n_sample`` picks evenly-spaced frames (the
     training-pipeline frame-sampling primitive); None decodes every
-    frame."""
+    frame. GIF frames are the full composited screens (disposal
+    applied); AVI decodes only the sampled frames. The one
+    motion-decode implementation — decode_frames and
+    multimodal's media_report both delegate here."""
     from . import jpeg
 
     if data[:4] == b"GIF8":
@@ -145,18 +148,25 @@ def decode_frames(data: bytes, n_sample: int | None = None
         frames = gif.decode_gif(data)["frames"]
         idxs = (range(len(frames)) if n_sample is None
                 else sample_indices(len(frames), n_sample))
-        return [frames[i] for i in idxs]
+        return [frames[i] for i in idxs], len(frames)
     meta = parse_avi(data)
-    frames = meta["frames"]
-    idxs = (range(len(frames)) if n_sample is None
-            else sample_indices(len(frames), n_sample))
+    raw = meta["frames"]
+    idxs = (range(len(raw)) if n_sample is None
+            else sample_indices(len(raw), n_sample))
     out = []
     for i in idxs:
-        px = jpeg.decode_jpeg(frames[i])
+        px = jpeg.decode_jpeg(raw[i])
         if px.shape[2] == 1:
             px = np.repeat(px, 3, axis=2)
         out.append(px)
-    return out
+    return out, len(raw)
+
+
+def decode_frames(data: bytes, n_sample: int | None = None
+                  ) -> list[np.ndarray]:
+    """decode_sampled_frames without the frame count (the original
+    frame-sampling surface)."""
+    return decode_sampled_frames(data, n_sample)[0]
 
 
 def decode_video_gray_samples(data: bytes, n_sample: int = 4

@@ -944,8 +944,18 @@ def test_choose_ann_index_memory_budget_forces_ivfpq(spark):
                                         memory_budget_bytes=10**9)
     assert loose["index"] == "lsh", loose
     assert loose["budget_forces_pq"] is False
+    assert loose["budget_violated"] is False
     assert got["budget_violated"] is False
     assert got["pq_infeasible_reason"] is None
+
+    # budget so tight even the m-byte PQ codes exceed it: the selector
+    # still recommends the PQ family (least-infeasible) but must flag
+    # that the chosen index will not fit
+    tiny = similarity.choose_ann_index(emb, sample_rows=576, pq_m=4,
+                                       memory_budget_bytes=1_000)
+    assert tiny["index"] == "ivfpq", tiny
+    assert tiny["index_bytes"]["pq"] > tiny["memory_budget_bytes"]
+    assert tiny["budget_violated"] is True
 
     # budget forces PQ but dim=16 is not divisible by pq_m=5: the
     # selector must fall back LOUDLY — budget_violated flagged with the
