@@ -276,3 +276,62 @@ def session_stats(df: DataFrame, key: str, ts: str,
                  F.min(ts).alias("session_start"),
                  F.max(ts).alias("session_end"),
                  (F.max(sec) - F.min(sec)).alias("duration_s")))
+
+
+def temporal_split(df: DataFrame, ts: str, split_ts: str,
+                   embargo_s: float = 0.0,
+                   split_col: str = "split") -> DataFrame:
+    """Event-time train/val split with an embargo gap — the PIT-correct
+    alternative to a random split for time-ordered training data.
+
+      train: rows with ts <  split_ts - embargo_s
+      val:   rows with ts >= split_ts
+
+    Rows inside the embargo window ``[split_ts - embargo_s, split_ts)``
+    are dropped from BOTH sides: trailing-window features (lag/lead,
+    rolling stats, as-of snapshots) computed on train rows near the
+    boundary would otherwise summarize the same instants the val set is
+    scored on — temporal leakage through window state, the exact failure
+    mode the zero-leakage contract (module docstring) exists to prevent.
+
+    Returns ``df`` with ``split_col`` in {'train','val'}, embargo rows
+    filtered out. Scale: a pure projection + filter — no shuffle, and
+    the timestamp predicate pushes down to the parquet scan."""
+    t = F.col(ts).cast("timestamp_ltz").cast("double")
+    c = F.to_timestamp(F.lit(split_ts)).cast("timestamp_ltz").cast("double")
+    label = (F.when(t < c - F.lit(float(embargo_s)), F.lit("train"))
+             .when(t >= c, F.lit("val")))
+    return (df.withColumn(split_col, label)
+            .where(F.col(split_col).isNotNull()))
+
+
+def leakage_audit(joined: DataFrame, probe_ts: str, matched_ts: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Audit the zero-temporal-leakage invariant over ANY feature-joined
+    table: a row LEAKS when its matched feature/snapshot timestamp is
+    strictly later than the probe event's own timestamp — i.e. the
+    feature peeked at the future. Run it on every as-of output (must be
+    all-zero) and on any externally produced feature table before
+    training on it.
+
+    Returns one row (per ``group_cols`` group, or one global row):
+      n_rows      total probe rows audited
+      n_matched   rows that matched some snapshot (nulls don't leak)
+      n_leaks     rows with matched_ts > probe_ts
+      max_lead_us worst future-peek in exact integer microseconds
+                  (0 when clean)
+
+    Scale: one partially-aggregated groupBy — every map task reduces to
+    per-group counters before a tiny shuffle; timestamps compare as
+    integer microseconds so the audit is exact, never float-rounded."""
+    pu = F.unix_micros(F.col(probe_ts).cast("timestamp_ltz"))
+    mu = F.unix_micros(F.col(matched_ts).cast("timestamp_ltz"))
+    lead = mu - pu
+    leak = (F.col(matched_ts).isNotNull() & (lead > 0)).cast("bigint")
+    gb = joined.groupBy(*group_cols) if group_cols else joined.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(matched_ts)).alias("n_matched"),
+        F.sum(leak).alias("n_leaks"),
+        F.coalesce(F.max(F.when(lead > 0, lead)),
+                   F.lit(0).cast("bigint")).alias("max_lead_us"))

@@ -1,0 +1,155 @@
+"""CountMin sketch (photohive_spark.sketch) and the PIT temporal-split /
+leakage-audit operators (pit.temporal_split, pit.leakage_audit)."""
+
+from collections import Counter
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from photohive_spark import pit, sketch
+
+
+# ---------------------------------------------------------------------------
+# CountMin
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(0, 40))         # includes empty docs
+        rows.append((str(i), [int(t) for t in
+                              rng.zipf(1.5, n).clip(max=50256)]))
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def _true_counts(tok_df):
+    c = Counter()
+    for r in tok_df.collect():
+        c.update(r.tokens)
+    return c
+
+
+def test_countmin_shape_and_mass(tok_df):
+    cms = sketch.countmin(tok_df, depth=4, width=64).collect()
+    true = _true_counts(tok_df)
+    n_total = sum(true.values())
+    assert len(cms) <= 4 * 64
+    per_depth = Counter()
+    for r in cms:
+        assert 0 <= r.bucket < 64 and 0 <= r.d < 4
+        per_depth[r.d] += r.cnt
+    # every depth row sees the whole stream exactly once
+    assert all(per_depth[d] == n_total for d in range(4)), per_depth
+
+
+def test_cms_estimate_one_sided_and_bounded(tok_df):
+    """CMS guarantee: never undercounts; overcount <= (e/width)*N with
+    prob >= 1 - e^-depth — at depth 4 a single probe set of 12 tokens
+    blowing the bound would be a ~2% event, so assert the bound plus
+    one-sidedness (the deterministic half of the guarantee)."""
+    true = _true_counts(tok_df)
+    n_total = sum(true.values())
+    cms = sketch.countmin(tok_df, depth=4, width=64)
+    probe = [1, 2, 3, 5, 17, 100, 999, 4242, 50256, 7, 11, 13]
+    est = {r.token: r.est
+           for r in sketch.cms_estimate(cms, probe, depth=4, width=64
+                                        ).collect()}
+    assert set(est) == {int(t) for t in probe}
+    bound = np.e / 64 * n_total
+    for t in probe:
+        assert est[t] >= true.get(t, 0), (t, est[t], true.get(t, 0))
+        assert est[t] <= true.get(t, 0) + bound, (t, est[t], true.get(t, 0))
+
+
+def test_cms_merge_equals_whole(spark, tok_df):
+    """Mergeability: sketch(A) + sketch(B) == sketch(A union B), cell by
+    cell — the property that makes per-day / per-stream sketches free to
+    combine."""
+    a = tok_df.where(F.col("doc_id").cast("int") < 100)
+    b = tok_df.where(F.col("doc_id").cast("int") >= 100)
+    merged = {(r.d, r.bucket): r.cnt
+              for r in sketch.cms_merge(sketch.countmin(a, width=64),
+                                        sketch.countmin(b, width=64)
+                                        ).collect()}
+    whole = {(r.d, r.bucket): r.cnt
+             for r in sketch.countmin(tok_df, width=64).collect()}
+    assert merged == whole
+
+
+def test_countmin_rejects_nothing_but_empty_merge():
+    with pytest.raises(ValueError):
+        sketch.cms_merge()
+
+
+# ---------------------------------------------------------------------------
+# temporal_split / leakage_audit
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ev_df(spark):
+    rows = [(i, datetime(2024, 1, 1 + i), float(i)) for i in range(10)]
+    return spark.createDataFrame(rows, "id int, ts timestamp_ntz, v double")
+
+
+def test_temporal_split_labels_and_embargo(ev_df):
+    out = {r.id: r.split
+           for r in pit.temporal_split(ev_df, "ts", "2024-01-08 00:00:00",
+                                       embargo_s=2 * 86400).collect()}
+    # train: ts < 01-06; embargo [01-06, 01-08) dropped; val: ts >= 01-08
+    assert out == {0: "train", 1: "train", 2: "train", 3: "train",
+                   4: "train", 7: "val", 8: "val", 9: "val"}
+
+
+def test_temporal_split_no_embargo_keeps_all(ev_df):
+    out = pit.temporal_split(ev_df, "ts", "2024-01-08 00:00:00")
+    assert out.count() == 10
+    assert out.where(F.col("split") == "val").count() == 3
+
+
+def test_temporal_split_no_shuffle(ev_df):
+    plan = pit.temporal_split(ev_df, "ts", "2024-01-08 00:00:00") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_leakage_audit_clean_and_leaky(spark):
+    probes = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 5)), (2, "a", datetime(2024, 1, 9)),
+         (3, "b", datetime(2024, 1, 2))],
+        "event_id int, k string, probe_ts timestamp_ntz")
+    snaps = spark.createDataFrame(
+        [("a", datetime(2024, 1, 4), 1.0), ("a", datetime(2024, 1, 8), 2.0),
+         ("b", datetime(2024, 1, 7), 3.0)],
+        "k string, snapshot_ts timestamp_ntz, val double")
+    asof = pit.asof_join(probes, snaps, "k", "probe_ts", "snapshot_ts",
+                         ["val"])
+    clean = pit.leakage_audit(asof, "probe_ts", "matched_ts").collect()[0]
+    # probe 3 ('b' at 01-02) has no prior snapshot -> unmatched, not a leak
+    assert (clean.n_rows, clean.n_matched, clean.n_leaks,
+            clean.max_lead_us) == (3, 2, 0, 0)
+
+    naive = probes.join(
+        snaps.groupBy("k").agg(F.max("snapshot_ts").alias("matched_ts")),
+        on="k", how="left")
+    leaky = pit.leakage_audit(naive, "probe_ts", "matched_ts").collect()[0]
+    # probe 1 sees 01-08 (3 days ahead), probe 3 sees 01-07 (5 days ahead)
+    assert (leaky.n_rows, leaky.n_matched, leaky.n_leaks) == (3, 3, 2)
+    assert leaky.max_lead_us == 5 * 86400 * 1_000_000
+
+
+def test_leakage_audit_group_cols(spark):
+    df = spark.createDataFrame(
+        [("x", datetime(2024, 1, 2), datetime(2024, 1, 1)),
+         ("x", datetime(2024, 1, 2), datetime(2024, 1, 3)),
+         ("y", datetime(2024, 1, 2), None)],
+        "g string, probe_ts timestamp_ntz, matched_ts timestamp_ntz")
+    out = {r.g: r for r in
+           pit.leakage_audit(df, "probe_ts", "matched_ts",
+                             group_cols=["g"]).collect()}
+    assert (out["x"].n_leaks, out["x"].max_lead_us) == (1, 86400 * 1_000_000)
+    assert (out["y"].n_matched, out["y"].n_leaks) == (0, 0)
