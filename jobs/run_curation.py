@@ -10,7 +10,11 @@ of the engine's proven operators:
                           cluster's min-id representative)
        -> decontaminate  (k-gram overlap vs --benchmark parquet, pooled
                           semantics; stage skipped when flag absent)
-       -> train/val split (deterministic hash split, --val-rate)
+       -> train/val split (deterministic hash split by default; pass
+          --split-by time --split-ts ... [--embargo-s N] for the
+          PIT-correct event-time split with an embargo gap — the right
+          splitter when docs carry timestamps and downstream features
+          use trailing windows)
        -> RESUMABLE bucketed writes of BOTH splits (lineage manifests;
           re-running skips completed buckets)
 
@@ -30,7 +34,9 @@ Usage:
       [--min-quality 0.3] [--threshold 0.9] [--hash fast] [--k 3] \\
       [--max-bucket-size 1024] [--cc-method star] [--n-buckets 64] \\
       [--benchmark /path/to/benchmark_parquet] [--contam-threshold 0.5] \\
-      [--val-rate 0.01] [--pairs-dir /path/to/pairs]
+      [--val-rate 0.01] [--pairs-dir /path/to/pairs] \\
+      [--split-by time --ts-col event_ts \\
+       --split-ts '2024-01-20 00:00:00' --embargo-s 86400]
 
 Output layout: {output}/train and {output}/val, each independently
 resumable. Prints ONE JSON line with per-stage counts — the drop
@@ -64,6 +70,13 @@ def main() -> None:
                          ">= --contam-threshold are dropped")
     ap.add_argument("--contam-threshold", type=float, default=0.5)
     ap.add_argument("--val-rate", type=float, default=0.01)
+    ap.add_argument("--split-by", choices=["hash", "time"], default="hash")
+    ap.add_argument("--ts-col", default="event_ts",
+                    help="timestamp column for --split-by time")
+    ap.add_argument("--split-ts", default=None,
+                    help="val starts here (required for --split-by time)")
+    ap.add_argument("--embargo-s", type=float, default=0.0,
+                    help="gap before --split-ts dropped from BOTH sides")
     ap.add_argument("--pairs-dir", default=None,
                     help="parquet checkpoint for verified near-dup pairs "
                          "(written once, reused on resume)")
@@ -72,7 +85,7 @@ def main() -> None:
     import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
-    from photohive_spark import dedup, lineage, sampling, text
+    from photohive_spark import dedup, lineage, pit, sampling, text
 
     spark = SparkSession.builder.appName("photohive-curation").getOrCreate()
     t0 = time.time()
@@ -152,8 +165,19 @@ def main() -> None:
     docs_e.unpersist()
 
     # ---- stage 5: deterministic train/val split + resumable writes -----
-    val = sampling.hash_sample(docs_c, args.val_rate)
-    train = docs_c.join(val.select("doc_id"), on="doc_id", how="left_anti")
+    if args.split_by == "time":
+        if not args.split_ts:
+            raise SystemExit("--split-by time requires --split-ts")
+        labeled = pit.temporal_split(docs_c, args.ts_col, args.split_ts,
+                                     embargo_s=args.embargo_s)
+        val = labeled.where(F.col("split") == "val").drop("split")
+        train = labeled.where(F.col("split") == "train").drop("split")
+        n_train = train.count()
+    else:
+        val = sampling.hash_sample(docs_c, args.val_rate)
+        train = docs_c.join(val.select("doc_id"), on="doc_id",
+                            how="left_anti")
+        n_train = None                  # n_clean - n_val, computed below
     train_entries = lineage.run_resumable(
         spark, train, f"{args.output}/train",
         key_col="doc_id", n_buckets=args.n_buckets)
@@ -161,6 +185,8 @@ def main() -> None:
         spark, val, f"{args.output}/val",
         key_col="doc_id", n_buckets=max(1, args.n_buckets // 8))
     n_val = val.count()
+    if n_train is None:
+        n_train = n_clean - n_val
 
     print(json.dumps({
         "n_docs": n_docs,
@@ -170,7 +196,9 @@ def main() -> None:
         "near_dup_dropped": n_exact - n_near,
         "contamination_dropped": n_near - n_clean,
         "docs_kept": n_clean,
-        "n_train": n_clean - n_val, "n_val": n_val,
+        "split_by": args.split_by,
+        "embargo_dropped": n_clean - n_train - n_val,
+        "n_train": n_train, "n_val": n_val,
         "train_buckets_run": len(train_entries),
         "val_buckets_run": len(val_entries),
         "train_buckets_done": len(

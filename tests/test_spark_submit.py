@@ -321,6 +321,57 @@ def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
     assert stat2["docs_kept"] == stat["docs_kept"]
 
 
+def test_spark_submit_run_curation_time_split(tmp_path, spark, sf_dir):
+    """--split-by time: the PIT-correct event-time split with an embargo
+    gap, end to end through spark-submit — train strictly before the
+    embargo window, val strictly at/after the split point, gap rows in
+    neither output."""
+    import pyspark.sql.functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(30)
+            # deterministic daily timestamps: doc i -> 2024-01-(1+i%30)
+            .withColumn("event_ts", F.to_timestamp(F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.col("doc_id").cast("int") % 30 + 1)
+                       .cast("string"), 2, "0")))))
+    corpus_path = str(tmp_path / "corpus_ts.parquet")
+    docs.write.parquet(corpus_path)
+
+    zf = _zip_pkg(tmp_path)
+    out = str(tmp_path / "curated_ts")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=4",
+           "--py-files", zf,
+           os.path.join(root, "jobs", "run_curation.py"),
+           "--docs", corpus_path, "--output", out,
+           "--min-quality", "0.0", "--hash", "fast", "--n-buckets", "2",
+           "--split-by", "time", "--ts-col", "event_ts",
+           "--split-ts", "2024-01-21 00:00:00",
+           "--embargo-s", str(2 * 86400)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["split_by"] == "time"
+    assert stat["docs_kept"] == stat["n_train"] + stat["n_val"] \
+        + stat["embargo_dropped"]
+    assert stat["embargo_dropped"] >= 1
+
+    from photohive_spark import lineage
+    from datetime import datetime
+    train_ts = [x.event_ts for x in
+                lineage.read_result(spark, f"{out}/train")
+                .select("event_ts").collect()]
+    val_ts = [x.event_ts for x in
+              lineage.read_result(spark, f"{out}/val")
+              .select("event_ts").collect()]
+    assert train_ts and val_ts
+    assert max(train_ts) < datetime(2024, 1, 19)      # before the embargo
+    assert min(val_ts) >= datetime(2024, 1, 21)       # at/after the split
+
+
 def test_spark_submit_build_ivfpq_index(tmp_path, spark, sf_dir):
     """build_ann_index --kind ivfpq: one job writes the composite index
     (cell-partitioned m-byte codes) + centroids AND codebooks in the
