@@ -101,3 +101,20 @@ def test_session_arrow_batch_config(spark):
         "spark.sql.execution.arrow.maxRecordsPerBatch") == "8192"
     assert spark.conf.get(
         "spark.sql.execution.arrow.maxBytesPerBatch") in ("64m", "67108864b")
+
+
+def test_countmin_partial_aggregates_map_side(spark, sf_dir):
+    """The sketch's whole point at scale: the token stream collapses to
+    <= depth x width rows PER TASK before the shuffle (partial_count
+    below the Exchange), and the probe lookup broadcasts the bounded
+    sketch instead of shuffling."""
+    from photohive_spark import sketch
+    cms = sketch.countmin(tokens_table(spark, sf_dir))
+    plan = _plan(cms)
+    partial, final = plan.find("partial_count"), plan.find("Exchange")
+    assert partial != -1 and final != -1
+    assert partial > final      # executedPlan prints top-down: partial below
+    assert "BatchEvalPython" not in plan
+
+    est_plan = _plan(sketch.cms_estimate(cms, [1, 2, 3]))
+    assert "BroadcastHashJoin" in est_plan
