@@ -305,6 +305,27 @@ def media_features_stream(media_stream: DataFrame,
     return media_features(media_stream, cfg=cfg, mode=mode)
 
 
+def countmin_stream(tokens_stream: DataFrame, tokens_col: str = "tokens",
+                    depth: int | None = None,
+                    width: int | None = None) -> DataFrame:
+    """Streaming CountMin: live token-frequency tracking on an unbounded
+    stream with PROVABLY bounded state — the streaming aggregation keeps
+    at most ``depth x width`` counter rows no matter how much data flows
+    (contrast dedup_stream, whose state needs a watermark to stay
+    bounded; the sketch bounds itself by construction). Query with
+    outputMode('update'/'complete'); counters are cumulative and exactly
+    equal the batch sketch over the same rows, so per-batch snapshots
+    merge downstream via sketch.cms_merge."""
+    from . import sketch
+
+    kwargs = {}
+    if depth is not None:
+        kwargs["depth"] = depth
+    if width is not None:
+        kwargs["width"] = width
+    return sketch.countmin(tokens_stream, tokens_col, **kwargs)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a stream with availableNow into a memory sink (test harness)."""
     q = (stream_df.writeStream.format("memory").queryName(name)

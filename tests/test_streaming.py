@@ -518,3 +518,27 @@ def test_image_dedup_stream_watermark_bounds_state(spark, tmp_path):
     # and the ts column is really on the output (the watermark carrier)
     assert "ts" in spark.sql("select * from img_wm").columns
     q.stop()
+
+
+def test_countmin_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming CMS: cumulative counters over micro-batches exactly
+    equal the batch sketch over the same rows — and the state is bounded
+    at depth x width by construction (no watermark needed)."""
+    import pyspark.sql.functions as F2
+    from photohive_spark import sketch
+    toks = tokens_table(spark, sf_dir).limit(80).cache()
+    src = str(tmp_path / "tok_cms_stream")
+    for lo, hi in [(0, 30), (30, 60), (60, 80)]:
+        (toks.filter((F2.col("doc_id").cast("long") >= lo)
+                     & (F2.col("doc_id").cast("long") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = streaming.read_tokens_stream(spark, src, max_files_per_trigger=1)
+    streaming.run_to_memory(
+        streaming.countmin_stream(stream, width=64),
+        "cms_stream", mode="complete")
+    got = {(r.d, r.bucket): r.cnt
+           for r in spark.sql("select * from cms_stream").collect()}
+    want = {(r.d, r.bucket): r.cnt
+            for r in sketch.countmin(spark.read.parquet(src),
+                                     width=64).collect()}
+    assert got == want and len(got) <= 4 * 64
