@@ -614,6 +614,12 @@ def q_leakage_audit(spark, sf_dir):
 # mix of frequent (32928/10453/20109), mid (1140/21796), rare (6834) and
 # ABSENT (7/999) token ids at the gate's sf — so the recorded rows show
 # real counts, the rare tail, and zero-for-absent in one result
+def q_bigram_logprob(spark, sf_dir):
+    """Laplace-smoothed conditional bigram LM score per doc (the
+    quality-filter step up from the unigram LM)."""
+    return text.bigram_logprob(tokens_table(spark, sf_dir))
+
+
 _CMS_PROBE_TOKENS = [32928, 10453, 20109, 1140, 21796, 6834, 7, 999]
 
 
@@ -1172,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "unigram_logprob": q_unigram_logprob,
         "cms_estimate": q_cms_estimate,
+        "bigram_logprob": q_bigram_logprob,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
         # golden/parity-tested in pytest). Deliberately LAST: if the
@@ -2336,6 +2343,31 @@ exact as (
 select cast(e.token as bigint) as token, e.est,
        cast(coalesce(x.true_cnt, 0) as bigint) as true_cnt
 from est e left join exact x on e.token = x.token
+"""
+
+    # bigram LM: per-bigram log-probs round to integer micro-nats before
+    # the order-independent bigint sum (unigram_logprob's determinism
+    # recipe, lifted to the conditional distribution)
+    sql["bigram_logprob"] = f"""
+with tok as (select doc_id, tokens from {_TOKENS}),
+bg as (
+  select doc_id, tokens[i] as a, tokens[i + 1] as b
+  from tok, unnest(range(1, len(tokens))) as r(i)),
+cab as (select a, b, count(*) as c_ab from bg group by a, b),
+ca as (select a, count(*) as c_a from bg group by a),
+vocab as (
+  select count(distinct t) as v
+  from (select unnest(tokens) as t from tok)),
+scored as (
+  select g.doc_id,
+    cast(round(ln((c_ab + 1.0) / (c_a + 1.0 * v)) * 1e6) as bigint) as lp
+  from bg g
+  join cab on g.a = cab.a and g.b = cab.b
+  join ca on g.a = ca.a
+  cross join vocab)
+select doc_id, cast(count(*) as int) as n_bigrams,
+  round(cast(sum(lp) as bigint) / (1e6 * count(*)), 6) as avg_logprob
+from scored group by doc_id
 """
 
     return sql

@@ -105,6 +105,46 @@ def unigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
         F.round(F.col("lp_sum") / (1e6 * F.col("n")), 6).alias("avg_logprob"))
 
 
+def bigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
+                   tokens_col: str = "tokens",
+                   alpha: float = 1.0) -> DataFrame:
+    """Conditional bigram language-model score with add-``alpha``
+    (Laplace) smoothing — the next step up from unigram_logprob as a
+    junk/boilerplate filter: p(t_i | t_{i-1}) = (c(prev,t) + alpha) /
+    (c(prev,·) + alpha·V), per-doc mean ln p over positions 2..n.
+    Docs with fewer than 2 tokens have no bigrams and drop out (same
+    convention as repetition_stats).
+
+    Shape: one explode builds the bigram stream; two bounded groupBys
+    build the bigram and context tables (≤ observed-bigram rows — the
+    join back is a plain equi-join so AQE broadcasts it only when it
+    actually fits, unlike the always-broadcast unigram table); V is the
+    exact distinct-token count. Determinism: per-bigram log-probs round
+    to integer micro-nats before the order-independent bigint sum
+    (same cross-engine libm caveat as unigram_logprob)."""
+    pair_expr = (f"case when size({tokens_col}) < 2 then "
+                 f"array() else transform(sequence(1, size({tokens_col}) - 1), "
+                 f"i -> struct(element_at({tokens_col}, i) as a, "
+                 f"element_at({tokens_col}, i + 1) as b)) end")
+    bg = (tokens_df.select(F.col(id_col), F.explode(F.expr(pair_expr))
+                           .alias("p"))
+          .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = bg.groupBy("a").agg(F.count("*").alias("c_a"))
+    vocab = (tokens_df.select(F.explode(tokens_col).alias("t"))
+             .agg(F.countDistinct("t").alias("v")))
+    lp = F.round(F.log((F.col("c_ab") + F.lit(float(alpha)))
+                       / (F.col("c_a") + F.lit(float(alpha)) * F.col("v")))
+                 * 1e6).cast("bigint")
+    scored = (bg.join(cab, on=["a", "b"]).join(ca, on="a").crossJoin(vocab)
+              .groupBy(id_col)
+              .agg(F.sum(lp).alias("lp_sum"), F.count("*").alias("n")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n").cast("int").alias("n_bigrams"),
+        F.round(F.col("lp_sum") / (1e6 * F.col("n")), 6).alias("avg_logprob"))
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals: fraction of the doc covered by its

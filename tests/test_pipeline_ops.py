@@ -328,6 +328,41 @@ def test_unigram_logprob_ranks_rare_docs_lower(spark):
     assert all(v < 0 for v in got.values())          # log-probs are negative
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus verified against pencil-and-paper Laplace bigram LM:
+    tokens [1,2,1,2], [1,3] and bigram-less [9]; V=4 (token 9 still
+    counts toward the vocab), contexts c(1)=3, c(2)=1; c(1,2)=2,
+    c(2,1)=1, c(1,3)=1."""
+    import math
+    toks = spark.createDataFrame(
+        [("a", [1, 2, 1, 2]), ("b", [1, 3]), ("short", [9])],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in text.bigram_logprob(toks).collect()}
+    assert "short" not in got                    # <2 tokens: no bigrams
+    p12 = (2 + 1) / (3 + 4)                      # p(2|1)
+    p21 = (1 + 1) / (1 + 4)                      # p(1|2)
+    p13 = (1 + 1) / (3 + 4)                      # p(3|1)
+    mn = lambda p: round(math.log(p) * 1e6)      # micro-nat rounding
+    want_a = round((mn(p12) + mn(p21) + mn(p12)) / 3e6, 6)
+    want_b = round(mn(p13) / 1e6, 6)
+    assert (got["a"].n_bigrams, got["b"].n_bigrams) == (3, 1)
+    assert got["a"].avg_logprob == want_a
+    assert got["b"].avg_logprob == want_b
+
+
+def test_bigram_logprob_ranks_shuffled_doc_lower(spark):
+    """Bigram LM sees word ORDER: a doc whose unigrams match the corpus
+    but whose transitions don't scores lower than an in-distribution
+    doc — the signal unigram_logprob cannot express."""
+    rows = [("c{}".format(i), [1, 2, 3, 1, 2, 3, 1, 2, 3]) for i in range(9)]
+    rows.append(("shuffled", [3, 2, 1, 3, 2, 1, 3, 2, 1]))
+    toks = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r.avg_logprob
+           for r in text.bigram_logprob(toks).collect()}
+    assert got["shuffled"] < got["c0"]
+    assert all(v < 0 for v in got.values())
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     docs = spark.createDataFrame(
         [("rep", "buy now buy now buy now buy now"),
