@@ -169,22 +169,33 @@ def main() -> None:
         if not args.split_ts:
             raise SystemExit("--split-by time requires --split-ts")
         labeled = pit.temporal_split(docs_c, args.ts_col, args.split_ts,
-                                     embargo_s=args.embargo_s)
+                                     embargo_s=args.embargo_s,
+                                     label_all=True)
+        # one aggregation yields every split count INCLUDING null-ts
+        # rows — which the filtering form silently drops and which must
+        # never be mistaken for embargo-window rows in the accounting
+        split_counts = {r["split"]: r["count"]
+                        for r in labeled.groupBy("split").count().collect()}
         val = labeled.where(F.col("split") == "val").drop("split")
         train = labeled.where(F.col("split") == "train").drop("split")
-        n_train = train.count()
+        n_train = split_counts.get("train", 0)
+        n_val = split_counts.get("val", 0)
+        n_embargo = split_counts.get("embargo", 0)
+        n_null_ts = split_counts.get("null_ts", 0)
     else:
         val = sampling.hash_sample(docs_c, args.val_rate)
         train = docs_c.join(val.select("doc_id"), on="doc_id",
                             how="left_anti")
-        n_train = None                  # n_clean - n_val, computed below
+        n_train = n_val = None          # from n_clean below
+        n_embargo = n_null_ts = 0
     train_entries = lineage.run_resumable(
         spark, train, f"{args.output}/train",
         key_col="doc_id", n_buckets=args.n_buckets)
     val_entries = lineage.run_resumable(
         spark, val, f"{args.output}/val",
         key_col="doc_id", n_buckets=max(1, args.n_buckets // 8))
-    n_val = val.count()
+    if n_val is None:
+        n_val = val.count()
     if n_train is None:
         n_train = n_clean - n_val
 
@@ -197,7 +208,8 @@ def main() -> None:
         "contamination_dropped": n_near - n_clean,
         "docs_kept": n_clean,
         "split_by": args.split_by,
-        "embargo_dropped": n_clean - n_train - n_val,
+        "embargo_dropped": n_embargo,
+        "null_ts_dropped": n_null_ts,
         "n_train": n_train, "n_val": n_val,
         "train_buckets_run": len(train_entries),
         "val_buckets_run": len(val_entries),

@@ -280,7 +280,8 @@ def session_stats(df: DataFrame, key: str, ts: str,
 
 def temporal_split(df: DataFrame, ts: str, split_ts: str,
                    embargo_s: float = 0.0,
-                   split_col: str = "split") -> DataFrame:
+                   split_col: str = "split",
+                   label_all: bool = False) -> DataFrame:
     """Event-time train/val split with an embargo gap — the PIT-correct
     alternative to a random split for time-ordered training data.
 
@@ -295,12 +296,22 @@ def temporal_split(df: DataFrame, ts: str, split_ts: str,
     mode the zero-leakage contract (module docstring) exists to prevent.
 
     Returns ``df`` with ``split_col`` in {'train','val'}, embargo rows
-    filtered out. Scale: a pure projection + filter — no shuffle, and
-    the timestamp predicate pushes down to the parquet scan."""
+    (and rows with a NULL timestamp, which satisfy neither predicate)
+    filtered out. With ``label_all=True`` NO rows are dropped: every
+    row is labeled 'train' / 'val' / 'embargo' / 'null_ts' — the audit
+    form, letting callers account for exactly what the filtering form
+    discards in one aggregation instead of silently losing null-ts
+    rows. Scale: a pure projection + filter — no shuffle, and the
+    timestamp predicate pushes down to the parquet scan."""
     t = F.col(ts).cast("timestamp_ltz").cast("double")
     c = F.to_timestamp(F.lit(split_ts)).cast("timestamp_ltz").cast("double")
     label = (F.when(t < c - F.lit(float(embargo_s)), F.lit("train"))
              .when(t >= c, F.lit("val")))
+    if label_all:
+        return df.withColumn(
+            split_col,
+            F.when(F.col(ts).isNull(), F.lit("null_ts"))
+             .otherwise(F.coalesce(label, F.lit("embargo"))))
     return (df.withColumn(split_col, label)
             .where(F.col(split_col).isNotNull()))
 
@@ -332,6 +343,9 @@ def leakage_audit(joined: DataFrame, probe_ts: str, matched_ts: str,
     return gb.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.col(matched_ts)).alias("n_matched"),
-        F.sum(leak).alias("n_leaks"),
+        # coalesce: a global aggregate over an EMPTY table must report
+        # 0 leaks, not null (sum over no rows is null) — a gate
+        # asserting n_leaks == 0 would otherwise fail on empty input
+        F.coalesce(F.sum(leak), F.lit(0).cast("bigint")).alias("n_leaks"),
         F.coalesce(F.max(F.when(lead > 0, lead)),
                    F.lit(0).cast("bigint")).alias("max_lead_us"))

@@ -48,9 +48,20 @@ def cms_hash_params(depth: int = CMS_DEPTH) -> list[tuple[int, int]]:
 
 def cms_bucket(token_col: F.Column, a: int, b: int,
                width: int = CMS_WIDTH) -> F.Column:
-    """h(t) = ((a*t + b) mod P) mod width, all bigint JVM arithmetic."""
-    t = token_col.cast("bigint")
-    return ((F.lit(a) * t + F.lit(b)) % F.lit(CMS_P)) % F.lit(width)
+    """h(t) = ((a*(t mod P) + b) mod P) mod width, all bigint JVM
+    arithmetic. ``pmod`` (floor-mod) everywhere: Spark's ``%`` follows
+    the dividend's sign, so negative ids (xxhash64 outputs, hashed
+    feature crosses) would otherwise land in negative buckets the
+    probe side never looks at — a silent undercount. Reducing t mod P
+    first also keeps ``a*t`` inside int64 for the full 64-bit id range
+    (a < 2^31, t mod P < 2^31 -> product < 2^62)."""
+    t = F.pmod(token_col.cast("bigint"), F.lit(CMS_P))
+    return F.pmod(F.lit(a) * t + F.lit(b), F.lit(CMS_P)) % F.lit(width)
+
+
+def _py_bucket(t: int, a: int, b: int, width: int) -> int:
+    """Driver-side mirror of cms_bucket (Python % is already floor-mod)."""
+    return ((a * (int(t) % CMS_P) + b) % CMS_P) % width
 
 
 def countmin(df: DataFrame, tokens_col: str = "tokens",
@@ -98,7 +109,7 @@ def cms_estimate(cms: DataFrame, tokens: list[int],
     params = cms_hash_params(depth)
     spark = cms.sparkSession
     probes = spark.createDataFrame(
-        [(int(t), d, int((((a * int(t)) + b) % CMS_P) % width))
+        [(int(t), d, _py_bucket(t, a, b, width))
          for t in tokens for d, (a, b) in enumerate(params)],
         "token bigint, d int, bucket int")
     # the sketch is bounded (depth x width rows) — broadcast it so the

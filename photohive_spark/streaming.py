@@ -313,9 +313,12 @@ def countmin_stream(tokens_stream: DataFrame, tokens_col: str = "tokens",
     at most ``depth x width`` counter rows no matter how much data flows
     (contrast dedup_stream, whose state needs a watermark to stay
     bounded; the sketch bounds itself by construction). Query with
-    outputMode('update'/'complete'); counters are cumulative and exactly
-    equal the batch sketch over the same rows, so per-batch snapshots
-    merge downstream via sketch.cms_merge."""
+    outputMode('update'/'complete'); counters are CUMULATIVE and exactly
+    equal the batch sketch over all rows seen so far. Merge caveat:
+    because snapshots are cumulative, summing two snapshots of the SAME
+    stream via sketch.cms_merge double-counts — cms_merge is for
+    sketches over DISJOINT row sets (different streams / days); within
+    one stream, always take the latest snapshot."""
     from . import sketch
 
     kwargs = {}

@@ -86,6 +86,25 @@ def test_countmin_rejects_nothing_but_empty_merge():
         sketch.cms_merge()
 
 
+def test_cms_negative_tokens_one_sided(spark):
+    """xxhash64-style ids are signed — half of all hashed ids are
+    negative. pmod bucketing must keep them in [0, width) and the probe
+    side must find them (Spark '%' would put them in buckets the probe
+    never reads, silently undercounting to 0)."""
+    toks = [-(2**63) + 1, -9_876_543_210, -50256, -7, -1,
+            0, 7, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([("d0", toks * 3)],
+                               "doc_id string, tokens array<bigint>")
+    cms = sketch.countmin(df, depth=4, width=64)
+    for r in cms.collect():
+        assert 0 <= r.bucket < 64, r
+    est = {r.token: r.est
+           for r in sketch.cms_estimate(cms, toks, depth=4, width=64
+                                        ).collect()}
+    for t in toks:
+        assert est[int(t)] >= 3, (t, est[int(t)])
+
+
 # ---------------------------------------------------------------------------
 # temporal_split / leakage_audit
 # ---------------------------------------------------------------------------
@@ -140,6 +159,37 @@ def test_leakage_audit_clean_and_leaky(spark):
     # probe 1 sees 01-08 (3 days ahead), probe 3 sees 01-07 (5 days ahead)
     assert (leaky.n_rows, leaky.n_matched, leaky.n_leaks) == (3, 3, 2)
     assert leaky.max_lead_us == 5 * 86400 * 1_000_000
+
+
+def test_temporal_split_label_all_accounts_every_row(spark):
+    """label_all=True: the audit form labels EVERY row — train / val /
+    embargo / null_ts — and drops nothing, so counts reconcile exactly
+    with what the filtering form keeps."""
+    rows = [(i, datetime(2024, 1, 1 + i)) for i in range(10)]
+    rows.append((99, None))                    # null event time
+    df = spark.createDataFrame(rows, "id int, ts timestamp_ntz")
+    labeled = pit.temporal_split(df, "ts", "2024-01-08 00:00:00",
+                                 embargo_s=2 * 86400, label_all=True)
+    out = {r.id: r.split for r in labeled.collect()}
+    assert out == {0: "train", 1: "train", 2: "train", 3: "train",
+                   4: "train", 5: "embargo", 6: "embargo",
+                   7: "val", 8: "val", 9: "val", 99: "null_ts"}
+    # filtering form == label_all form restricted to train/val
+    kept = {r.id: r.split
+            for r in pit.temporal_split(df, "ts", "2024-01-08 00:00:00",
+                                        embargo_s=2 * 86400).collect()}
+    assert kept == {k: v for k, v in out.items() if v in ("train", "val")}
+
+
+def test_leakage_audit_empty_input_reports_zero(spark):
+    """A zero-leak gate (assert n_leaks == 0) must pass on an EMPTY
+    join result — sum over no rows is NULL in SQL; the audit coalesces
+    it to 0."""
+    df = spark.createDataFrame(
+        [], "probe_ts timestamp_ntz, matched_ts timestamp_ntz")
+    row = pit.leakage_audit(df, "probe_ts", "matched_ts").collect()[0]
+    assert (row.n_rows, row.n_matched, row.n_leaks, row.max_lead_us) \
+        == (0, 0, 0, 0)
 
 
 def test_leakage_audit_group_cols(spark):

@@ -335,6 +335,11 @@ def test_spark_submit_run_curation_time_split(tmp_path, spark, sf_dir):
                 F.lit("2024-01-"),
                 F.lpad((F.col("doc_id").cast("int") % 30 + 1)
                        .cast("string"), 2, "0")))))
+    # one row with a NULL event time: satisfies neither split predicate;
+    # must be accounted as null_ts_dropped, not folded into the embargo
+    docs = docs.union(docs.sparkSession.createDataFrame(
+        [("nullts_doc", "a unique null-timestamp document body", None)],
+        docs.schema))
     corpus_path = str(tmp_path / "corpus_ts.parquet")
     docs.write.parquet(corpus_path)
 
@@ -356,8 +361,9 @@ def test_spark_submit_run_curation_time_split(tmp_path, spark, sf_dir):
     stat = json.loads(r.stdout.strip().splitlines()[-1])
     assert stat["split_by"] == "time"
     assert stat["docs_kept"] == stat["n_train"] + stat["n_val"] \
-        + stat["embargo_dropped"]
+        + stat["embargo_dropped"] + stat["null_ts_dropped"]
     assert stat["embargo_dropped"] >= 1
+    assert stat["null_ts_dropped"] == 1
 
     from photohive_spark import lineage
     from datetime import datetime
