@@ -519,6 +519,15 @@ def q_decontaminate(spark, sf_dir):
         .select("doc_id", "source")
 
 
+def q_dup_span(spark, sf_dir):
+    """Exact-substring-style dedup signal (Lee et al. 2022): per-doc
+    fraction of words covered by corpus-duplicated word 5-grams.
+    n_words cast to long for DuckDB len() schema parity."""
+    out = dedup.dup_span_stats(_docs_str(spark, sf_dir), k=5)
+    return out.select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                      "dup_tokens", "dup_frac")
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram LM quality score (KenLM stand-in)."""
     return text.unigram_logprob(tokens_table(spark, sf_dir))
@@ -1126,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "length_percentiles": q_length_percentiles,
         "decontaminate": q_decontaminate,
+        "dup_span": q_dup_span,
         "temporal_split": q_temporal_split,
         "leakage_audit": q_leakage_audit,
         "countmin": q_countmin,
@@ -1772,6 +1782,32 @@ with bench as (select doc_id, text from {_DOCS}
     where h.n_hit >= s.n_sh * 0.5)
 select doc_id, source from {_DOCS}
 where doc_id not in (select doc_id from contaminated)
+"""
+
+    sql["dup_span"] = f"""
+with sized as (select doc_id, {_WORDS} as ws, len({_WORDS}) as nw
+               from {_DOCS}),
+  gp as (select doc_id, nw, g.pos as pos, g.gram as gram
+         from (select doc_id, nw,
+                      unnest(list_transform(
+                          range(1, greatest(nw - 4, 1) + 1),
+                          i -> struct_pack(
+                              pos := i - 1,
+                              gram := array_to_string(ws[i:i+4], ' '))))
+                      as g
+               from sized where nw > 0)),
+  dupg as (select gram from gp group by gram having count(*) >= 2),
+  cov as (select doc_id, nw, pos,
+                 lead(pos) over (partition by doc_id order by pos) as nxt
+          from gp where gram in (select gram from dupg)),
+  agg as (select doc_id,
+                 cast(sum(least(coalesce(nxt - pos, 5), 5, nw - pos))
+                      as bigint) as dup_tokens
+          from cov group by doc_id)
+select s.doc_id, s.nw as n_words,
+       coalesce(a.dup_tokens, 0) as dup_tokens,
+       round(coalesce(a.dup_tokens, 0) / greatest(s.nw, 1), 6) as dup_frac
+from sized s left join agg a using (doc_id)
 """
 
     sql["unigram_logprob"] = f"""

@@ -336,6 +336,64 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def dup_span_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5,
+                   min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of each doc's
+    words covered by word k-grams that occur >= ``min_count`` times in
+    the whole corpus (counting within-doc repeats). This is the
+    practical distributed form of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a true suffix-array ExactSubstr needs a global sorted
+    index, but every duplicated substring of length >= k is a union of
+    duplicated k-grams, so k-gram span coverage upper-bounds it tightly
+    and maps onto plain Spark relational ops. Filter on ``dup_frac``
+    (e.g. > 0.5) to drop boilerplate-heavy pages before training.
+
+    Returns (doc_id, n_words, dup_tokens, dup_frac): ``dup_tokens`` is
+    the exact size of the union of [pos, pos+k) intervals over
+    duplicated-gram start positions (equal-length intervals sorted by
+    start: each contributes min(next_start - start, k), the last one k,
+    everything capped by doc end), ``dup_frac`` = dup_tokens / n_words
+    rounded to 6 dp (0.0 for empty docs).
+
+    Scale shape: posexplode grams (no shuffle) -> groupBy(gram) count
+    with map-side partial aggregation -> inner join positions against
+    the duplicated-gram keys (sort-merge on gram; AQE splits skewed hot
+    grams, which a count-over-window form could not) -> one window +
+    groupBy on ``id_col`` (the groupBy reuses the window's hash
+    partitioning) -> left join back to per-doc sizes. No Python in the
+    plan; gram strings shuffle once."""
+    rows = _word_gram_rows(docs, text_col, id_col, k)
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
+    grams = (rows.withColumn("gram", F.concat_ws(" ", *parts))
+             .where("_keep").where(F.col("_pos").isNotNull())
+             .select(id_col, "_nw", "_pos", "gram"))
+    dup_grams = (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("_cnt"))
+                 .where(F.col("_cnt") >= min_count)
+                 .select("gram"))
+    dwin = Window.partitionBy(id_col).orderBy("_pos")
+    cover = (grams.join(dup_grams, on="gram")
+             .withColumn("_nxt", F.lead("_pos").over(dwin))
+             .withColumn("_cover", F.least(
+                 F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(k)),
+                 F.lit(k), F.col("_nw") - F.col("_pos")))
+             .groupBy(id_col)
+             .agg(F.sum("_cover").alias("dup_tokens")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.expr(f"filter(split({text_col}, ' '), "
+                      "w -> length(w) > 0)")).alias("n_words"))
+    return (base.join(cover, on=id_col, how="left")
+            .select(id_col, "n_words",
+                    F.coalesce("dup_tokens", F.lit(0).cast("bigint"))
+                    .alias("dup_tokens"))
+            .withColumn("dup_frac", F.round(
+                F.col("dup_tokens") / F.greatest("n_words", F.lit(1)), 6)))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS, hash_fn: str = "poly") -> DataFrame:
     """Per-doc SimHash over word hashes: bit b set iff the majority of

@@ -1000,3 +1000,76 @@ def test_choose_ann_index_memory_budget_forces_ivfpq(spark):
     assert bad["index"] in ("lsh", "ivf"), bad
     assert bad["budget_violated"] is True
     assert "not divisible" in bad["pq_infeasible_reason"]
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats (exact-substring-style duplicated k-gram coverage)
+# ---------------------------------------------------------------------------
+
+def _brute_dup_span(corpus, k, min_count=2):
+    """Set-based ground truth: positions covered by duplicated k-grams."""
+    from collections import Counter
+
+    def doc_grams(ws):
+        n = len(ws)
+        if n == 0:
+            return []
+        return [(p, " ".join(ws[p:p + k]))
+                for p in range(max(n - k + 1, 1))]
+
+    words = {d: [w for w in t.split(" ") if w] for d, t in corpus}
+    cnt = Counter(g for d, _ in corpus for _, g in doc_grams(words[d]))
+    out = {}
+    for d, _ in corpus:
+        ws = words[d]
+        covered = set()
+        for p, g in doc_grams(ws):
+            if cnt[g] >= min_count:
+                covered.update(range(p, min(p + k, len(ws))))
+        out[d] = (len(ws), len(covered))
+    return out
+
+
+def test_dup_span_stats_matches_bruteforce(spark):
+    corpus = [
+        ("a0", "the cat sat on the mat and looked at the dog today"),
+        ("a1", "yesterday the cat sat on the mat and looked around"),
+        ("a2", "one two three four five six seven eight nine ten"),
+        ("a3", "spam spam spam spam spam spam spam spam"),     # within-doc
+        ("a4", "short doc"),                                   # < k words
+        ("a5", "short doc"),                                   # dup of a4
+        ("a6", ""),                                            # empty
+        ("a7", "totally unique words nowhere else repeated here at all"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    for k in (3, 5):
+        want = _brute_dup_span(corpus, k)
+        got = {r.doc_id: r for r in
+               dedup.dup_span_stats(df, k=k).collect()}
+        assert set(got) == set(want)
+        for d, (nw, cov) in want.items():
+            assert got[d].n_words == nw, (k, d)
+            assert got[d].dup_tokens == cov, (k, d, got[d])
+            assert got[d].dup_frac == pytest.approx(
+                round(cov / max(nw, 1), 6)), (k, d)
+    # headline semantics: exact dups are fully covered, unique docs 0
+    got5 = {r.doc_id: r.dup_frac for r in
+            dedup.dup_span_stats(df, k=5).collect()}
+    assert got5["a3"] == 1.0            # within-doc repetition counts
+    assert got5["a7"] == 0.0
+    assert got5["a6"] == 0.0            # empty doc: 0/0 -> 0
+
+
+def test_dup_span_stats_seeded_random_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = []
+    for i in range(40):
+        n = int(rng.integers(0, 25))
+        corpus.append((f"r{i}",
+                       " ".join(rng.choice(vocab, n).tolist())))
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    want = _brute_dup_span(corpus, 4)
+    got = {r.doc_id: (r.n_words, r.dup_tokens) for r in
+           dedup.dup_span_stats(df, k=4).collect()}
+    assert got == want
