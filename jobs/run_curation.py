@@ -10,6 +10,13 @@ of the engine's proven operators:
                           cluster's min-id representative)
        -> decontaminate  (k-gram overlap vs --benchmark parquet, pooled
                           semantics; stage skipped when flag absent)
+       -> boilerplate    (dup_span_stats: drop docs whose duplicated
+                          5-gram span coverage exceeds --max-dup-frac;
+                          catches template-heavy pages that share
+                          fragments with MANY docs without any single
+                          pair being a near-dup; skipped when absent.
+                          Runs AFTER dedup so surviving-representative
+                          corpora are measured, not raw dup inflation)
        -> train/val split (deterministic hash split by default; pass
           --split-by time --split-ts ... [--embargo-s N] for the
           PIT-correct event-time split with an embargo gap — the right
@@ -35,6 +42,7 @@ Usage:
       [--max-bucket-size 1024] [--cc-method star] [--n-buckets 64] \\
       [--benchmark /path/to/benchmark_parquet] [--contam-threshold 0.5] \\
       [--val-rate 0.01] [--pairs-dir /path/to/pairs] \\
+      [--max-dup-frac 0.7] [--span-k 5] \\
       [--split-by time --ts-col event_ts \\
        --split-ts '2024-01-20 00:00:00' --embargo-s 86400]
 
@@ -69,6 +77,11 @@ def main() -> None:
                          "when given, docs overlapping its k-gram pool "
                          ">= --contam-threshold are dropped")
     ap.add_argument("--contam-threshold", type=float, default=0.5)
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="drop docs whose duplicated --span-k-gram span "
+                         "coverage exceeds this fraction (boilerplate "
+                         "filter); omit to skip the stage")
+    ap.add_argument("--span-k", type=int, default=5)
     ap.add_argument("--val-rate", type=float, default=0.01)
     ap.add_argument("--split-by", choices=["hash", "time"], default="hash")
     ap.add_argument("--ts-col", default="event_ts",
@@ -164,6 +177,16 @@ def main() -> None:
     n_clean = docs_c.count()
     docs_e.unpersist()
 
+    # ---- stage 4.5: boilerplate span filter (optional) ------------------
+    if args.max_dup_frac is not None:
+        keep_b = (dedup.dup_span_stats(docs_c, k=args.span_k)
+                  .where(F.col("dup_frac") <= args.max_dup_frac)
+                  .select("doc_id"))
+        docs_c = docs_c.join(keep_b, on="doc_id", how="left_semi").persist()
+        n_final = docs_c.count()
+    else:
+        n_final = n_clean
+
     # ---- stage 5: deterministic train/val split + resumable writes -----
     if args.split_by == "time":
         if not args.split_ts:
@@ -186,7 +209,7 @@ def main() -> None:
         val = sampling.hash_sample(docs_c, args.val_rate)
         train = docs_c.join(val.select("doc_id"), on="doc_id",
                             how="left_anti")
-        n_train = n_val = None          # from n_clean below
+        n_train = n_val = None          # from n_final below
         n_embargo = n_null_ts = 0
     train_entries = lineage.run_resumable(
         spark, train, f"{args.output}/train",
@@ -197,7 +220,7 @@ def main() -> None:
     if n_val is None:
         n_val = val.count()
     if n_train is None:
-        n_train = n_clean - n_val
+        n_train = n_final - n_val
 
     print(json.dumps({
         "n_docs": n_docs,
@@ -206,7 +229,8 @@ def main() -> None:
         "near_dup_pairs": n_pairs, "pairs_reused": pairs_reused,
         "near_dup_dropped": n_exact - n_near,
         "contamination_dropped": n_near - n_clean,
-        "docs_kept": n_clean,
+        "boilerplate_dropped": n_clean - n_final,
+        "docs_kept": n_final,
         "split_by": args.split_by,
         "embargo_dropped": n_embargo,
         "null_ts_dropped": n_null_ts,

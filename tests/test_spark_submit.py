@@ -267,8 +267,19 @@ def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
     junk = spark.createDataFrame(
         [("junk_0", "!!! ??? %%% !!!"), ("junk_1", "@@ ## $$ %% ^^ &&")],
         ["doc_id", "text"])
+    # template-heavy pair: ~40 shared boilerplate words + short unique
+    # tails -> NOT a 0.9-Jaccard near-dup pair (J ~ 0.7), but both are
+    # > 70% covered by duplicated 5-gram spans -> the --max-dup-frac
+    # stage (and only it) must drop them
+    boiler = " ".join(f"tmpl{chr(97 + i % 26)}{chr(97 + i // 26)}"
+                      for i in range(40))
+    bp = spark.createDataFrame(
+        [("bp_0", boiler + " unique closing words here alpha"),
+         ("bp_1", boiler + " different ending sentence there omega")],
+        ["doc_id", "text"])
     corpus_path = str(tmp_path / "corpus.parquet")
-    docs.unionByName(dups).unionByName(junk).write.parquet(corpus_path)
+    (docs.unionByName(dups).unionByName(junk).unionByName(bp)
+     .write.parquet(corpus_path))
 
     # benchmark = exact copies of three surviving originals -> their
     # pooled 3-gram overlap is 1.0 and decontamination must drop them
@@ -290,14 +301,16 @@ def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
            "--hash", "fast", "--n-buckets", "4",
            "--benchmark", bench_path, "--contam-threshold", "0.5",
            "--val-rate", "0.1",
+           "--max-dup-frac", "0.7", "--span-k", "5",
            "--pairs-dir", str(tmp_path / "pairs")]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-3000:]
     stat = json.loads(r.stdout.strip().splitlines()[-1])
-    assert stat["n_docs"] == 52
+    assert stat["n_docs"] == 54
     assert stat["quality_dropped"] == 2           # both junk docs
     assert stat["exact_dup_dropped"] >= 10        # every planted dup
     assert stat["contamination_dropped"] >= 1     # benchmark copies
+    assert stat["boilerplate_dropped"] >= 2       # both template docs
     assert stat["docs_kept"] == stat["n_train"] + stat["n_val"]
 
     from photohive_spark import lineage
@@ -309,7 +322,8 @@ def test_spark_submit_run_curation(tmp_path, spark, sf_dir):
            .select("doc_id").collect()}
     assert len(train) == stat["n_train"] and len(val) == stat["n_val"]
     assert not (train & val)                      # leak-free split
-    assert not any(d.startswith(("dup_", "junk_")) for d in train | val)
+    assert not any(d.startswith(("dup_", "junk_", "bp_"))
+                   for d in train | val)
 
     # resume: zero buckets rewritten, pair stage reused
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
