@@ -118,3 +118,52 @@ def cms_estimate(cms: DataFrame, tokens: list[int],
             .groupBy("token")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
                  .alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketches (Apache DataSketches via Spark 3.5+
+# hll_sketch_agg / hll_union_agg / hll_sketch_estimate built-ins)
+# ---------------------------------------------------------------------------
+
+HLL_LG_K = 12  # 2^12 registers -> ~1.6% relative standard error
+
+
+def hll_distinct(df: DataFrame, col: str,
+                 group_cols: list[str] | None = None,
+                 lg_k: int = HLL_LG_K) -> DataFrame:
+    """Mergeable distinct-count sketch per group: the distinct-counting
+    sibling of ``countmin`` (frequencies). Returns one ``hll`` binary
+    column per group (or one global row).
+
+    Why not exact countDistinct at 100 TB: exact distinct over an
+    unbounded key space (n-grams, URLs, user ids) shuffles every
+    distinct key; the HLL sketch is a FIXED 2^lg_k-register summary
+    that partial-aggregates map-side (each task emits one sketch), so
+    the shuffle moves ``tasks x ~(2^lg_k)`` bytes, never the keys — and
+    per-day / per-source sketches union later via ``hll_merge`` without
+    re-reading data (HLL union is lossless: the merged sketch is
+    identical to sketching the concatenated input). JVM built-in
+    (Apache DataSketches HllSketch), no Python in the plan."""
+    agg = F.hll_sketch_agg(col, lg_k).alias("hll")
+    return df.groupBy(*(group_cols or [])).agg(agg)
+
+
+def hll_merge(*sketches: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Union HLL sketches (same groups across days / streams / tables)
+    into one sketch per group — element-wise register max under the
+    hood, so the result equals sketching the unioned raw data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*(group_cols or []))
+            .agg(F.hll_union_agg("hll").alias("hll")))
+
+
+def hll_estimate(sk: DataFrame, out_col: str = "n_distinct") -> DataFrame:
+    """Read the estimate out of a sketch table: replaces the ``hll``
+    binary with a bigint estimate column."""
+    return sk.withColumn(out_col,
+                         F.hll_sketch_estimate("hll")).drop("hll")

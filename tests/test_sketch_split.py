@@ -203,3 +203,52 @@ def test_leakage_audit_group_cols(spark):
                              group_cols=["g"]).collect()}
     assert (out["x"].n_leaks, out["x"].max_lead_us) == (1, 86400 * 1_000_000)
     assert (out["y"].n_matched, out["y"].n_leaks) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketches
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def id_df(spark):
+    rng = np.random.default_rng(3)
+    rows = [(f"src{i % 3}", int(v)) for i, v in
+            enumerate(rng.integers(0, 5000, 20000))]
+    return spark.createDataFrame(rows, "source string, uid bigint")
+
+
+def test_hll_estimate_within_error(id_df):
+    est = sketch.hll_estimate(
+        sketch.hll_distinct(id_df, "uid")).collect()[0].n_distinct
+    true = id_df.select("uid").distinct().count()
+    assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_hll_grouped_and_merge_lossless(id_df):
+    """Union of per-source sketches must equal the global sketch EXACTLY
+    (HLL union is lossless — register-wise max), so sharded/daily
+    sketching loses nothing vs one pass over everything."""
+    per_src = sketch.hll_distinct(id_df, "uid", group_cols=["source"])
+    assert per_src.count() == 3
+    merged = sketch.hll_estimate(
+        sketch.hll_merge(per_src.drop("source"))).collect()[0].n_distinct
+    whole = sketch.hll_estimate(
+        sketch.hll_distinct(id_df, "uid")).collect()[0].n_distinct
+    assert merged == whole
+
+    # two-table merge path (per-day sketches)
+    a = sketch.hll_distinct(
+        id_df.where(F.col("uid") % 2 == 0), "uid")
+    b = sketch.hll_distinct(
+        id_df.where(F.col("uid") % 2 == 1), "uid")
+    two = sketch.hll_estimate(
+        sketch.hll_merge(a, b)).collect()[0].n_distinct
+    assert two == whole
+
+
+def test_hll_partial_aggregation_in_plan(id_df):
+    """Scale contract: the sketch agg must partial-aggregate map-side
+    (each task emits one sketch object, the shuffle never moves keys)."""
+    plan = sketch.hll_distinct(id_df, "uid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan, plan
