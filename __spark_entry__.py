@@ -1114,7 +1114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "tokenize": q_tokenize,
         "validate": q_validate,
-        "downsample": q_downsample,
         "rp_project": q_rp_project,
         "rms_stats": q_rms_stats,
         "sharpness": q_sharpness,
@@ -1165,13 +1164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_topk (item 5); both oracles still run in the pytest gate.
         "asof_join_salted": q_asof_join_salted,
         "embedding_neardup": q_embedding_neardup,
-        # r6: crop_slice and minmax_normalize (trivial array projections,
-        # the two weakest in-cap signals of the §2.2 family) yielded their
-        # top-50 slots to rp_project (JL dimensionality reduction) and
-        # bm25_topk (corpus retrieval scoring); their oracles still run
+        # r6: crop_slice, minmax_normalize and downsample (trivial array
+        # projections, the weakest in-cap signals of the §2.2 family)
+        # yielded their top-50 slots to rp_project (JL dimensionality
+        # reduction), bm25_topk (corpus retrieval scoring) and dup_span
+        # (exact-substring-style span dedup); their oracles still run
         # in the pytest gate.
         "crop_slice": q_crop_slice,
         "minmax_normalize": q_minmax_normalize,
+        "downsample": q_downsample,
         "bm25_batch": q_bm25_batch,
         "audio_decode_stats": q_audio_decode_stats,
         # r6 late adds: minhash_signatures (subsumed by the in-cap
