@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from photohive_spark import dedup, pit, similarity, sketch, text
+from photohive_spark import dedup, features, pit, similarity, sketch, text
 from photohive_spark.config import DEFAULT_CONFIG as CFG, SAT_MOD, VOCAB_SIZE
 from photohive_spark.engine import extract_features_df, feature_snapshots
 from photohive_spark.tokenize import (DUCKDB_TOKENS_SQL, SPARK_TOKENS_EXPR,
@@ -458,6 +458,17 @@ def q_simhash_neardup(spark, sf_dir):
         F.concat_ws("_", "doc_id", F.lit("b")).alias("doc_id"),
         "text", "source"))
     return dedup.simhash_neardup_pairs(doubled, max_hamming=3)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing of the token corpus into
+    2048-token packs (16 salted packing groups): per-pack utilization.
+    The layout is pure integer arithmetic over the engine hash, so the
+    oracle reproduces every pack exactly."""
+    t = tokens_table(spark, sf_dir).select(
+        "doc_id", F.size("tokens").alias("n_tok"))
+    packed = features.pack_sequences(t, 2048, n_groups=16)
+    return features.pack_stats(packed, 2048)
 
 
 def q_hash_sample(spark, sf_dir):
@@ -1190,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "cms_estimate": q_cms_estimate,
         "bigram_logprob": q_bigram_logprob,
+        "pack_sequences": q_pack_sequences,
         # rows-only (no SQL-expressible oracle — FFT/palette/fake-decode
         # arrays are digested for the driver canonicalizer; the math is
         # golden/parity-tested in pytest). Deliberately LAST: if the
@@ -1747,6 +1759,28 @@ select id_a, id_b, hamming from ph_cand where hamming <= 6
     _H_ID = dedup.duckdb_poly_hash("md5(doc_id)")
     sql["hash_sample"] = f"""
 select doc_id, source from {_DOCS} where {_H_ID} % 10000 < 2500
+"""
+
+    sql["pack_sequences"] = f"""
+with t as (select doc_id, cast(len(tokens) as bigint) as n_tok,
+                  cast(({_H_ID} % 10000) % 16 as int) as "group"
+           from {_TOKENS}),
+  laid as (select doc_id, n_tok, "group",
+                  cast(coalesce(sum(n_tok) over (
+                      partition by "group"
+                      order by n_tok desc, doc_id asc
+                      rows between unbounded preceding and 1 preceding),
+                      0) as bigint) as off
+           from t),
+  packed as (select "group",
+                    cast(floor(off / 2048) as bigint) as pack,
+                    n_tok
+             from laid)
+select "group", pack, count(*) as n_docs,
+       cast(sum(n_tok) as bigint) as n_tokens,
+       round(cast(sum(n_tok) as bigint) / cast(2048 as double), 6)
+           as fill_frac
+from packed group by "group", pack
 """
 
     sql["stratified_sample"] = f"""

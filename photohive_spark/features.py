@@ -148,3 +148,62 @@ def rolling_stats(df: DataFrame, key: str, ts: str, value: str,
          .alias(f"{value}_roll_std"),
         F.min(value).over(w).alias(f"{value}_roll_min"),
         F.max(value).over(w).alias(f"{value}_roll_max"))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   len_col: str = "n_tok", id_col: str = "doc_id",
+                   n_groups: int = 64) -> DataFrame:
+    """Deterministic sequence packing: assign each doc to a fixed
+    token-budget pack (the pretraining batch-prep step that concatenates
+    documents into context-window-sized examples, cutting padding waste).
+
+    Greedy OFFSET packing: within a packing group, docs are laid out
+    end-to-end in (len desc, id) order; a doc starting at running offset
+    ``o`` lands in pack ``floor(o / budget)``. Deterministic pure integer
+    arithmetic — re-runs, other engines, and the SQL oracle produce the
+    identical layout. A pack's content can overflow ``budget`` by at
+    most (longest member - 1) tokens where a doc straddles a boundary;
+    length-descending order keeps stragglers short, and callers that
+    need hard caps split/truncate straddlers downstream (a policy, not
+    a layout, decision). Docs longer than ``budget`` span several packs
+    and are returned with their start pack.
+
+    Scale shape: a GLOBAL greedy pack is a sequential fold — instead the
+    corpus is salted into ``n_groups`` independent packing groups by the
+    engine's avalanche hash (sampling._bucket: md5 -> poly fold, DuckDB-
+    reproducible), and each group packs under one window sort. Groups
+    are embarrassingly parallel and pack ids are (group, pack) pairs;
+    at 10^12 docs raise ``n_groups`` so each group's window partition
+    stays executor-sized. One Exchange on the group key.
+
+    Returns (id_col, len, group, pack, offset): ``offset`` is the doc's
+    start inside its group's layout (offset % budget = position inside
+    the pack, when it does not straddle)."""
+    from .sampling import _bucket
+
+    win = (Window.partitionBy("group")
+           .orderBy(F.desc(len_col), F.asc(id_col)))
+    return (df
+            .select(F.col(id_col), F.col(len_col).cast("bigint"),
+                    (_bucket(id_col) % n_groups).cast("int").alias("group"))
+            .withColumn("offset",
+                        F.coalesce(F.sum(len_col).over(
+                            win.rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0).cast("bigint")))
+            .withColumn("pack",
+                        F.floor(F.col("offset") / F.lit(int(budget)))
+                        .cast("bigint")))
+
+
+def pack_stats(packed: DataFrame, budget: int,
+               len_col: str = "n_tok") -> DataFrame:
+    """Per-pack utilization over pack_sequences output: (group, pack,
+    n_docs, n_tokens, fill_frac). ``fill_frac`` > 1 marks boundary
+    straddlers (see pack_sequences overflow bound). One partially-
+    aggregated groupBy on the (group, pack) key."""
+    return (packed.groupBy("group", "pack")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(len_col).alias("n_tokens"))
+            .withColumn("fill_frac",
+                        F.round(F.col("n_tokens") /
+                                F.lit(float(budget)), 6)))

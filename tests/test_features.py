@@ -142,3 +142,69 @@ def test_rolling_stats_tiebreak_deterministic(spark):
         tiebreak=["seq"]).collect()}
     assert run1 == run2
     assert run1[2] == pytest.approx(15.0) and run1[3] == pytest.approx(25.0)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_matches_local_greedy(spark):
+    """Exact layout parity with a local recomputation of the greedy
+    offset pack, per group: (len desc, id) order, running offset,
+    pack = floor(offset / budget)."""
+    rng = np.random.default_rng(5)
+    rows = [(f"doc{i}", int(rng.integers(1, 900))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    budget = 1000
+    got = features.pack_sequences(df, budget, n_groups=8).collect()
+
+    lens = dict(rows)
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.group, []).append(r)
+    assert set(lens) == {r.doc_id for r in got}
+    for g, members in by_group.items():
+        order = sorted(members, key=lambda r: (-lens[r.doc_id], r.doc_id))
+        off = 0
+        for r in order:
+            assert r.n_tok == lens[r.doc_id]
+            assert r.offset == off, (g, r)
+            assert r.pack == off // budget, (g, r)
+            off += lens[r.doc_id]
+
+
+def test_pack_sequences_deterministic_and_conserving(spark):
+    rows = [(f"d{i}", 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    a = sorted(map(tuple, features.pack_sequences(df, 512).collect()))
+    b = sorted(map(tuple, features.pack_sequences(df, 512).collect()))
+    assert a == b                                # rerun-identical
+    total = sum(n for _, n in rows)
+    st = features.pack_stats(features.pack_sequences(df, 512), 512)
+    agg = st.agg(F.sum("n_tokens"), F.sum("n_docs")).collect()[0]
+    assert (agg[0], agg[1]) == (total, 50)       # nothing lost or forged
+
+
+def test_pack_stats_fill_and_overflow_bound(spark):
+    """Offset packing's utilization contract: within a group the layout
+    is gap-free, so the CUMULATIVE tokens through every non-final pack
+    reach that pack's end boundary (no wasted pack), and no single pack
+    holds more than budget + (longest member - 1) tokens."""
+    rng = np.random.default_rng(9)
+    rows = [(f"p{i}", int(rng.integers(50, 400))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    budget = 1024
+    packed = features.pack_sequences(df, budget, n_groups=4)
+    st = {}
+    for r in features.pack_stats(packed, budget).collect():
+        st.setdefault(r.group, {})[r.pack] = r.n_tokens
+    for g, packs in st.items():
+        last = max(packs)
+        # every pack id up to the last exists (gap-free layout)
+        assert set(packs) == set(range(last + 1)), (g, sorted(packs))
+        cum = 0
+        for p in range(last + 1):
+            assert packs[p] < budget + 400, (g, p, packs[p])
+            cum += packs[p]
+            if p < last:
+                assert cum >= (p + 1) * budget, (g, p, cum)
