@@ -1763,7 +1763,7 @@ select doc_id, source from {_DOCS} where {_H_ID} % 10000 < 2500
 
     sql["pack_sequences"] = f"""
 with t as (select doc_id, cast(len(tokens) as bigint) as n_tok,
-                  cast(({_H_ID} % 10000) % 16 as int) as "group"
+                  cast({_H_ID} % 16 as int) as "group"
            from {_TOKENS}),
   laid as (select doc_id, n_tok, "group",
                   cast(coalesce(sum(n_tok) over (

@@ -182,8 +182,13 @@ def main() -> None:
         keep_b = (dedup.dup_span_stats(docs_c, k=args.span_k)
                   .where(F.col("dup_frac") <= args.max_dup_frac)
                   .select("doc_id"))
+        docs_pre = docs_c
         docs_c = docs_c.join(keep_b, on="doc_id", how="left_semi").persist()
         n_final = docs_c.count()
+        # the pre-filter cache fed the span stats and the semi-join;
+        # holding it through the write stages would risk evicting the
+        # live post-filter cache on memory-tight executors
+        docs_pre.unpersist()
     else:
         n_final = n_clean
 

@@ -374,9 +374,8 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text",
                  .agg(F.count(F.lit(1)).alias("_cnt"))
                  .where(F.col("_cnt") >= min_count)
                  .select("gram"))
-    dwin = Window.partitionBy(id_col).orderBy("_pos")
     cover = (grams.join(dup_grams, on="gram")
-             .withColumn("_nxt", F.lead("_pos").over(dwin))
+             .withColumn("_nxt", F.lead("_pos").over(win))
              .withColumn("_cover", F.least(
                  F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(k)),
                  F.lit(k), F.col("_nw") - F.col("_pos")))

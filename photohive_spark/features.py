@@ -170,22 +170,26 @@ def pack_sequences(df: DataFrame, budget: int,
 
     Scale shape: a GLOBAL greedy pack is a sequential fold — instead the
     corpus is salted into ``n_groups`` independent packing groups by the
-    engine's avalanche hash (sampling._bucket: md5 -> poly fold, DuckDB-
-    reproducible), and each group packs under one window sort. Groups
-    are embarrassingly parallel and pack ids are (group, pack) pairs;
-    at 10^12 docs raise ``n_groups`` so each group's window partition
-    stays executor-sized. One Exchange on the group key.
+    engine's avalanche hash (md5 -> poly fold at full 2^31-1 resolution,
+    DuckDB-reproducible — NOT sampling._bucket, whose mod-10000 bucket
+    space would cap the real group count at 10000 and skew sizes for
+    non-divisor n_groups), and each group packs under one window sort.
+    Groups are embarrassingly parallel and pack ids are (group, pack)
+    pairs; at 10^12 docs raise ``n_groups`` (any value < ~2^31) so each
+    group's window partition stays executor-sized. One Exchange on the
+    group key.
 
     Returns (id_col, len, group, pack, offset): ``offset`` is the doc's
     start inside its group's layout (offset % budget = position inside
     the pack, when it does not straddle)."""
-    from .sampling import _bucket
+    from .dedup import poly_hash_expr
 
+    grp = F.expr(poly_hash_expr(f"md5({id_col})")) % n_groups
     win = (Window.partitionBy("group")
            .orderBy(F.desc(len_col), F.asc(id_col)))
     return (df
             .select(F.col(id_col), F.col(len_col).cast("bigint"),
-                    (_bucket(id_col) % n_groups).cast("int").alias("group"))
+                    grp.cast("int").alias("group"))
             .withColumn("offset",
                         F.coalesce(F.sum(len_col).over(
                             win.rowsBetween(Window.unboundedPreceding, -1)),

@@ -301,16 +301,23 @@ def temporal_split(df: DataFrame, ts: str, split_ts: str,
     row is labeled 'train' / 'val' / 'embargo' / 'null_ts' — the audit
     form, letting callers account for exactly what the filtering form
     discards in one aggregation instead of silently losing null-ts
-    rows. Scale: a pure projection + filter — no shuffle, and the
-    timestamp predicate pushes down to the parquet scan."""
-    t = F.col(ts).cast("timestamp_ltz").cast("double")
+    rows. 'null_ts' means no USABLE event time: a NULL column value or
+    a value the timestamp cast cannot parse (string ts columns) — both
+    satisfy neither split predicate, and classifying by the raw
+    column's nullness would misreport unparseable rows as 'embargo'.
+    Scale: a pure projection + filter — no shuffle, and the timestamp
+    predicate pushes down to the parquet scan."""
+    # try_cast, not cast: ANSI mode makes cast THROW on a malformed
+    # string timestamp; the split must instead classify such rows as
+    # unusable ('null_ts' under label_all, dropped otherwise)
+    t = F.col(ts).try_cast("timestamp_ltz").cast("double")
     c = F.to_timestamp(F.lit(split_ts)).cast("timestamp_ltz").cast("double")
     label = (F.when(t < c - F.lit(float(embargo_s)), F.lit("train"))
              .when(t >= c, F.lit("val")))
     if label_all:
         return df.withColumn(
             split_col,
-            F.when(F.col(ts).isNull(), F.lit("null_ts"))
+            F.when(t.isNull(), F.lit("null_ts"))
              .otherwise(F.coalesce(label, F.lit("embargo"))))
     return (df.withColumn(split_col, label)
             .where(F.col(split_col).isNotNull()))

@@ -252,3 +252,22 @@ def test_hll_partial_aggregation_in_plan(id_df):
     plan = sketch.hll_distinct(id_df, "uid") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "partial_hll_sketch_agg" in plan, plan
+
+
+def test_temporal_split_label_all_unparseable_ts(spark):
+    """A STRING ts column with a malformed value: the cast yields null,
+    so the row has no usable event time and must be labeled 'null_ts' —
+    not 'embargo' (classifying by the raw column's nullness would
+    misreport it, inflating embargo_dropped even at embargo_s=0)."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (2, "2024-01-09 00:00:00"),
+         (3, "not a timestamp"), (4, None)],
+        "id int, ts string")
+    out = {r.id: r.split
+           for r in pit.temporal_split(df, "ts", "2024-01-08 00:00:00",
+                                       label_all=True).collect()}
+    assert out == {1: "train", 2: "val", 3: "null_ts", 4: "null_ts"}
+    # filtering form agrees: both unusable rows dropped
+    kept = {r.id for r in
+            pit.temporal_split(df, "ts", "2024-01-08 00:00:00").collect()}
+    assert kept == {1, 2}
