@@ -211,3 +211,40 @@ def pack_stats(packed: DataFrame, budget: int,
             .withColumn("fill_frac",
                         F.round(F.col("n_tokens") /
                                 F.lit(float(budget)), 6)))
+
+
+def pack_examples(df: DataFrame, budget: int,
+                  tokens_col: str = "tokens", id_col: str = "doc_id",
+                  n_groups: int = 64) -> DataFrame:
+    """Materialize pack_sequences: one row per pack with the member
+    docs' token ids concatenated in layout order — the training-example
+    writer step downstream of packing. Returns (group, pack, doc_ids,
+    input_ids, n_docs, n_tokens); a doc belongs wholly to the pack its
+    offset starts in (boundary straddlers stay intact — chunking or
+    truncating to a hard ``budget`` is the trainer's policy, applied to
+    ``input_ids`` downstream).
+
+    All JVM: pack assignment joins back to the token table on
+    ``id_col`` (the join reuses nothing heavier than the packing
+    Exchange), then ONE groupBy(group, pack) whose aggregate is
+    collect_list(struct(offset, ...)) -> array_sort -> flatten, so
+    within-pack order is the deterministic layout order, not arrival
+    order. Pack payloads are bounded by ``budget`` + one straddler, so
+    collect_list state per key stays executor-tiny."""
+    lens = df.select(F.col(id_col),
+                     F.size(tokens_col).alias("_n_tok"))
+    packed = pack_sequences(lens, budget, len_col="_n_tok",
+                            id_col=id_col, n_groups=n_groups)
+    joined = packed.join(df.select(id_col, tokens_col), on=id_col)
+    members = F.array_sort(F.collect_list(
+        F.struct(F.col("offset"), F.col(id_col).alias("_id"),
+                 F.col(tokens_col).alias("_toks"))))
+    return (joined.groupBy("group", "pack")
+            .agg(members.alias("_m"))
+            .select(
+                "group", "pack",
+                F.expr("transform(_m, x -> x._id)").alias("doc_ids"),
+                F.flatten(F.expr("transform(_m, x -> x._toks)"))
+                .alias("input_ids"))
+            .withColumn("n_docs", F.size("doc_ids"))
+            .withColumn("n_tokens", F.size("input_ids")))

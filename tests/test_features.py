@@ -208,3 +208,44 @@ def test_pack_stats_fill_and_overflow_bound(spark):
             cum += packs[p]
             if p < last:
                 assert cum >= (p + 1) * budget, (g, p, cum)
+
+
+def test_pack_examples_materializes_layout(spark):
+    """pack_examples == pack_sequences joined to tokens: every token
+    conserved exactly once, members concatenated in layout order
+    (offset asc == len desc, id asc within a pack), all-JVM plan."""
+    rng = np.random.default_rng(13)
+    rows = [(f"e{i}",
+             [int(t) for t in rng.integers(0, 50257, rng.integers(5, 60))])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    budget = 256
+    ex = features.pack_examples(df, budget, n_groups=4)
+    got = ex.collect()
+    toks = dict(rows)
+
+    # conservation: every doc appears exactly once, tokens identical
+    seen = [d for r in got for d in r.doc_ids]
+    assert sorted(seen) == sorted(toks)
+    for r in got:
+        assert r.n_docs == len(r.doc_ids)
+        assert r.n_tokens == len(r.input_ids) == \
+            sum(len(toks[d]) for d in r.doc_ids)
+        # concatenation in layout order
+        flat = [t for d in r.doc_ids for t in toks[d]]
+        assert r.input_ids == flat
+        lens = [len(toks[d]) for d in r.doc_ids]
+        order = sorted(zip(r.doc_ids, lens), key=lambda x: (-x[1], x[0]))
+        assert [d for d, _ in order] == list(r.doc_ids), r.doc_ids
+
+    # agreement with the layout operator
+    packed = features.pack_sequences(
+        df.select("doc_id", F.size("tokens").alias("n_tok")),
+        budget, n_groups=4)
+    want = {}
+    for r in packed.collect():
+        want.setdefault((r.group, r.pack), set()).add(r.doc_id)
+    assert {(r.group, r.pack): set(r.doc_ids) for r in got} == want
+
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
