@@ -179,7 +179,11 @@ def main() -> None:
 
     # ---- stage 4.5: boilerplate span filter (optional) ------------------
     if args.max_dup_frac is not None:
-        keep_b = (dedup.dup_span_stats(docs_c, k=args.span_k)
+        # hash_grams: gram-keyed shuffles move 8-byte hashes, not
+        # k-word strings (the ~1e-8 collision perturbation is noise
+        # against a 0.x threshold)
+        keep_b = (dedup.dup_span_stats(docs_c, k=args.span_k,
+                                       hash_grams=True)
                   .where(F.col("dup_frac") <= args.max_dup_frac)
                   .select("doc_id"))
         docs_pre = docs_c

@@ -338,7 +338,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 def dup_span_stats(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 5,
-                   min_count: int = 2) -> DataFrame:
+                   min_count: int = 2,
+                   hash_grams: bool = False) -> DataFrame:
     """Per-document duplicated-span coverage: the fraction of each doc's
     words covered by word k-grams that occur >= ``min_count`` times in
     the whole corpus (counting within-doc repeats). This is the
@@ -363,11 +364,24 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text",
     grams, which a count-over-window form could not) -> one window +
     groupBy on ``id_col`` (the groupBy reuses the window's hash
     partitioning) -> left join back to per-doc sizes. No Python in the
-    plan; gram strings shuffle once."""
+    plan; gram strings shuffle once.
+
+    ``hash_grams=True`` is the 100 TB path: the gram key is reduced to
+    xxhash64(gram string) BEFORE the count shuffle and join, so the two
+    gram-keyed exchanges move 8-byte bigints instead of k-word strings
+    (~5-10x fewer shuffle bytes; the string is still built, but only as
+    a map-side projection that never leaves the task). Cost: 64-bit
+    collisions mark both colliding grams duplicated — at 10^12 grams
+    that is ~5e4 expected collisions mislabeling O(k) tokens each, a
+    ~1e-8 dup_frac perturbation; use the default exact strings when the
+    output feeds an equality oracle."""
     rows = _word_gram_rows(docs, text_col, id_col, k)
     win = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
-    grams = (rows.withColumn("gram", F.concat_ws(" ", *parts))
+    gram = F.concat_ws(" ", *parts)
+    if hash_grams:
+        gram = F.xxhash64(gram)
+    grams = (rows.withColumn("gram", gram)
              .where("_keep").where(F.col("_pos").isNotNull())
              .select(id_col, "_nw", "_pos", "gram"))
     dup_grams = (grams.groupBy("gram")

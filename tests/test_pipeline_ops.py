@@ -1073,3 +1073,25 @@ def test_dup_span_stats_seeded_random_vs_bruteforce(spark):
     got = {r.doc_id: (r.n_words, r.dup_tokens) for r in
            dedup.dup_span_stats(df, k=4).collect()}
     assert got == want
+
+
+def test_dup_span_stats_hash_grams_identical(spark):
+    """The 8-byte hashed-gram scale path produces the identical result
+    (collision-free at any test scale), on both the hand corpus and a
+    seeded random one."""
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(25)]
+    corpus = [("h0", "the cat sat on the mat and looked at the dog"),
+              ("h1", "the cat sat on the mat and looked at the dog"),
+              ("h2", "spam spam spam spam spam spam"),
+              ("h3", "")] + \
+             [(f"h{4 + i}", " ".join(rng.choice(vocab,
+                                                int(rng.integers(0, 20)))
+                                     .tolist()))
+              for i in range(30)]
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    exact = sorted(map(tuple, dedup.dup_span_stats(df, k=4).collect()))
+    fast = sorted(map(tuple,
+                      dedup.dup_span_stats(df, k=4,
+                                           hash_grams=True).collect()))
+    assert exact == fast
