@@ -36,9 +36,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _docs_str(spark, sf_dir):
-    return _read(spark, sf_dir, "documents").select(
+def _docs_str(spark, sf_dir, rebalance: bool = True):
+    # rebalance_small_scan: the driver's documents table is one row group,
+    # which would pin every per-doc stage to a single core (no-op at real
+    # scale — see photohive_spark.skew.rebalance_small_scan).
+    # ``rebalance=False`` for consumers whose per-doc work is trivial
+    # (md5 digest), where the extra exchange costs more than it buys.
+    from photohive_spark.skew import rebalance_small_scan
+    docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text", "source")
+    return rebalance_small_scan(docs) if rebalance else docs
 
 
 # arm_octree bin formula (src/color_quantization.c:108-161) on the derived
@@ -419,7 +426,7 @@ def q_topk_coverage(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    docs = _docs_str(spark, sf_dir)
+    docs = _docs_str(spark, sf_dir, rebalance=False)
     doubled = docs.unionByName(docs)
     return dedup.exact_dedup(doubled).select("digest", "doc_id", "dup_count")
 

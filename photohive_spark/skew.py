@@ -83,3 +83,37 @@ def rebalance_by_cost(df: DataFrame, cost_col: str = "n_tok",
     return (df.withColumn("_stripe", stripe)
               .repartition(n, "_stripe")
               .drop("_stripe"))
+
+
+def rebalance_small_scan(df: DataFrame,
+                         min_parallelism: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for SMALL scans (r7).
+
+    A parquet table written as one file/row group scans as ONE task, so
+    every downstream narrow stage (tokenize, per-doc hashing, feature
+    kernels) serializes on a single core no matter how many the cluster
+    has. At real scale (files >> cores) this never happens — the guard
+    below makes the fix a provable NO-OP there: only when the scan's
+    partition count is below the cluster's default parallelism does it
+    insert one repartition of the (small, by construction) input.
+
+    The repartition hashes a full-width deterministic key
+    (``xxhash64(first column)`` — doc_id/media_id in every caller, unique
+    by construction so the spread is uniform) instead of round-robin:
+    keyless ``repartition(n)`` pays a local sort of its input
+    (sortBeforeRepartition) to make retries deterministic, while a
+    content-derived hash key is retry-deterministic for free (guide
+    §2.5). Row order is irrelevant to every consumer (aggregates /
+    canonicalized outputs).
+    """
+    try:
+        n = df.rdd.getNumPartitions()
+        target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if n < target:
+        key = F.xxhash64(F.col(df.columns[0]))
+        return (df.withColumn("_rb", key)
+                  .repartition(target, "_rb")
+                  .drop("_rb"))
+    return df

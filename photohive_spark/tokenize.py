@@ -68,10 +68,62 @@ def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> input_hint-shaped tokens DataFrame.
 
     ``event_ts`` is deterministic (epoch 2026-01-01 + doc_id*37s) so
-    point-in-time tests are reproducible. All expressions are Catalyst
-    built-ins — `.explain` shows a single WholeStageCodegen project over
-    the parquet scan, reading only (doc_id, text, source).
-    """
+    point-in-time tests are reproducible.
+
+    The token hash itself runs as a vectorized numpy kernel inside ONE
+    ``mapInArrow`` stage (photohive_spark.fast_hash) — bit-identical
+    integers to SPARK_TOKENS_EXPR (parity pinned by tests/test_tokenize),
+    ~100x faster than the interpreted higher-order-function form (Spark
+    HOF lambdas are CodegenFallback; optimization guide §4.2). The scan
+    reads only (doc_id, text, source); everything around the hash
+    (event_ts, n_tok, casts) stays Catalyst."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tokens_from_documents(df)
+
+
+def tokens_from_documents(df: DataFrame) -> DataFrame:
+    """Tokenize any (doc_id, text, source) documents DataFrame into the
+    input_hint shape (see tokens_table)."""
+    import pyarrow as pa
+
+    from .skew import rebalance_small_scan
+
+    src = rebalance_small_scan(df.select("doc_id", "text", "source"))
+    fields = [(f.name, f.dataType.simpleString()) for f in src.schema
+              if f.name != "text"]
+    out_schema = ", ".join([f"{n} {t}" for n, t in fields]
+                           + ["tokens array<int>"])
+
+    def tok(batches):
+        from .fast_hash import tokenize_arrow_batch
+        for batch in batches:
+            cols, names = [], []
+            for i, name in enumerate(batch.schema.names):
+                if name != "text":
+                    cols.append(batch.column(i))
+                    names.append(name)
+            cols.append(tokenize_arrow_batch(batch.column("text")))
+            names.append("tokens")
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    mapped = src.mapInArrow(tok, out_schema)
+    return (
+        mapped.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("tokens"),
+            F.col("source"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_interval(secs=F.col("doc_id") * 37)).alias("event_ts"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source", "event_ts")
+    )
+
+
+def tokens_table_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original all-Catalyst form of tokens_table (SPARK_TOKENS_EXPR
+    per character, interpreted HOFs) — kept as the cross-implementation
+    parity oracle for the fast mapInArrow path."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         df.select(

@@ -45,10 +45,30 @@ def test_validate_bounds(spark, sf_dir):
     assert mx is None or mx <= hi
 
 
-def test_tokenize_plan_is_codegen_only(spark, sf_dir):
+def test_tokenize_plan_shape(spark, sf_dir):
+    """r7: the hash runs in ONE vectorized mapInArrow stage straight over
+    the scan — no row-at-a-time Python, no shuffle, and the scan reads
+    only the three needed columns (column pruning through the Arrow
+    node)."""
     plan = tokens_table(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan  # fully JVM-side, no Python at all
+    assert "ArrowEvalPython" not in plan
+    assert "MapInArrow" in plan
+    # only the deliberate small-scan rebalance exchange is allowed
+    assert plan.count("Exchange") <= 1, plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "text" in rs[0] and "n_chars" not in rs[0], rs
+
+
+def test_fast_tokenizer_matches_expr_form(spark, sf_dir):
+    """Full-corpus exact parity: the vectorized numpy tokenizer ==
+    the original all-Catalyst SPARK_TOKENS_EXPR form, every row."""
+    from photohive_spark.tokenize import tokens_table_expr
+    fast = tokens_table(spark, sf_dir).orderBy("doc_id").collect()
+    slow = tokens_table_expr(spark, sf_dir).orderBy("doc_id").collect()
+    assert len(fast) == len(slow)
+    for a, b in zip(fast, slow):
+        assert a == b
 
 
 def test_validate_token_range(spark):
