@@ -166,10 +166,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     if hash_fn == "fast":
         hashed = fast_shingle_hashes(docs, text_col, id_col, k)
     elif hash_fn == "poly":
-        # distinct=False: min() is multiset-invariant, so the per-doc
-        # shingle dedup exchange would be pure cost here
-        sh = word_shingles(docs, text_col, id_col, k, distinct=False)
-        hashed = sh.withColumn("h", F.expr(poly_hash_expr("shingle")))
+        # r7: the oracle-exact poly path now computes the whole signature
+        # per doc inside ONE vectorized mapInArrow stage (fast_hash.
+        # minhash_sig_arrow): per-word char hashes are spliced into gram
+        # hashes algebraically, so each character is read once (not once
+        # per covering gram) in numpy instead of the interpreted HOF —
+        # and the explode -> groupBy(id) shuffle disappears entirely
+        # (zero Exchange for the signature stage). Integers are identical
+        # (parity pinned by tests), so banding candidates — and therefore
+        # emitted pairs — are unchanged.
+        return _minhash_sig_arrow_df(docs, text_col, id_col, k, num_perm)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     mins = [F.min((F.lit(_A[j]) * F.col("h") + F.lit(_B[j])) % F.lit(MERSENNE))
@@ -177,6 +183,47 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col),
                       F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+
+
+def minhash_signatures_expr(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            num_perm: int = NUM_PERM) -> DataFrame:
+    """The original interpreted-HOF poly form (shingle strings, per-char
+    hash, explode + groupBy mins) — kept as the cross-implementation
+    parity oracle for the vectorized mapInArrow path."""
+    sh = word_shingles(docs, text_col, id_col, k, distinct=False)
+    hashed = sh.withColumn("h", F.expr(poly_hash_expr("shingle")))
+    mins = [F.min((F.lit(_A[j]) * F.col("h") + F.lit(_B[j])) % F.lit(MERSENNE))
+            .alias(f"m{j}") for j in range(num_perm)]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col),
+                      F.array(*[f"m{j}" for j in range(num_perm)]).alias("sig"))
+
+
+def _minhash_sig_arrow_df(docs: DataFrame, text_col: str, id_col: str,
+                          k: int, num_perm: int) -> DataFrame:
+    """(id_col, sig array<bigint>) via the vectorized per-doc kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    src = docs.select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    a_consts, b_consts = _A[:num_perm], _B[:num_perm]
+
+    def f(batches):
+        from photohive_spark.fast_hash import minhash_sig_arrow
+        for b in batches:
+            names = b.schema.names
+            texts = b.column(names.index(text_col))
+            sig = minhash_sig_arrow(texts, k, a_consts, b_consts)
+            n, p = sig.shape
+            offs = pa.array((np.arange(n + 1, dtype=np.int64) * p)
+                            .astype(np.int32), type=pa.int32())
+            arr = pa.ListArray.from_arrays(offs, pa.array(sig.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(names.index(id_col)), arr], [id_col, "sig"])
+
+    return src.mapInArrow(f, f"{id_col} {id_type}, sig array<bigint>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -224,7 +271,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                                     for r in range(rows)]).alias("bsig"))
         for b in range(bands)])
     banded = sig.select(F.col(id_col), F.explode(band_arr).alias("bk")) \
-                .select(id_col, "bk.band", "bk.bsig")
+                .select(id_col, "bk.band", "bk.bsig") \
+                .repartition("band", "bsig")
+    # ^ r7: one explicit exchange on the join key. The self-join below
+    # then REUSES a single shuffle for both aliases (ReusedExchange), so
+    # the signature subtree is computed once — before r7 the groupBy
+    # inside the signature stage provided that barrier for free; the
+    # mapInArrow signature path has no exchange of its own, and without
+    # this the planner recomputed the whole signature stage per alias
+    # and join planning ran statless (measured 3-6x slower and unstable).
 
     if max_bucket_size is not None:
         stats = (banded.groupBy("band", "bsig")
@@ -421,6 +476,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the codegen xxhash64 intrinsic — different hash values, same uniform-
     bit semantics, the 10^12-doc path.
     """
+    if hash_fn == "poly":
+        # r7: whole per-doc simhash in ONE vectorized mapInArrow stage
+        # (fast_hash.simhash_arrow) — no explode, no groupBy shuffle, no
+        # interpreted per-char HOF. Identical integers (parity pinned);
+        # docs with no words are dropped exactly like the explode form.
+        import pyarrow as pa
+
+        src = docs.select(id_col, text_col)
+        id_type = src.schema[id_col].dataType.simpleString()
+
+        def f(batches):
+            from photohive_spark.fast_hash import simhash_arrow
+            for b in batches:
+                names = b.schema.names
+                keep, sim = simhash_arrow(b.column(names.index(text_col)),
+                                          bits)
+                ids = b.column(names.index(id_col)).filter(pa.array(keep))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(sim)], [id_col, "simhash"])
+
+        return src.mapInArrow(f, f"{id_col} {id_type}, simhash bigint")
     words = docs.select(
         F.col(id_col),
         F.explode(F.expr(f"filter(split({text_col}, ' '), w -> length(w) > 0)"))
@@ -428,7 +504,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if hash_fn == "fast":
         words = words.withColumn(
             "h", F.xxhash64("w").bitwiseAND(F.lit((1 << bits) - 1)))
-    elif hash_fn == "poly":
+    elif hash_fn == "expr_poly":
+        # original interpreted form — parity oracle for the "poly" path
         words = words.withColumn("h", F.expr(poly_hash_expr("w")))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")

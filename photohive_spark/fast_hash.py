@@ -147,3 +147,104 @@ def tokenize_arrow_batch(texts):
             mask=pa.array(null_mask))
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(toks))
+
+
+def simhash_arrow(texts, bits: int = 32):
+    """Per-doc SimHash over word poly-hashes for one Arrow batch of texts
+    — identical integers to dedup.simhash's interpreted "poly" form.
+
+    Returns (keep_mask bool ndarray, simhash int64 ndarray over kept
+    docs). Docs with no words (empty/null text) are DROPPED, exactly like
+    the explode form (explode of an empty array emits no row).
+    """
+    data, starts, lens, counts, _null = split_words(texts)
+    h = poly_hash_flat(data, starts, lens, MERSENNE)
+    keep = counts > 0
+    if not keep.any():
+        return keep, np.zeros(0, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    starts_k = offsets[:-1][keep]
+    bit_mat = ((h[:, None] >> np.arange(bits)) & 1).astype(np.int64)
+    ones = np.add.reduceat(bit_mat, starts_k, axis=0)
+    nw = counts[keep][:, None]
+    sums = 2 * ones - nw                       # sum over words of (2*bit-1)
+    sim = ((sums > 0).astype(np.int64)
+           << np.arange(bits, dtype=np.int64)).sum(axis=1)
+    return keep, sim
+
+
+def minhash_sig_arrow(texts, k: int, a_consts, b_consts,
+                      mult: int = TOKEN_MULT, seed: int = TOKEN_SEED):
+    """Per-doc MinHash signatures over word k-gram shingles for one Arrow
+    batch of texts — identical integers to the interpreted "poly" form of
+    dedup.minhash_signatures (shingle strings joined by ' ', per-character
+    poly hash mod 2^31-1, then per-permutation min of (A*h+B) mod 2^31-1).
+
+    The shingle hash is NOT recomputed per character: poly(s1+' '+s2) ==
+    ((poly(s1)*31 + ascii(' ')) - seed*L2 + seed*L2 ... algebraically
+    ((t)*L2 + poly7(s2)) % M with t = (acc*31 + 32 - seed) % M, where
+    poly7 is the word hash from ``seed`` and L2 = 31^len(s2) % M — so each
+    word's characters are read ONCE, not once per covering gram.
+
+    Empty docs (no words) emit the single "" shingle (hash == seed),
+    mirroring _word_gram_rows' posexplode_outer; docs with 0 < nw < k
+    emit one all-words gram.
+
+    Returns an (n_docs, num_perm) int64 matrix.
+    """
+    M = MERSENNE
+    space = 32                                  # ascii(' ')
+    data, starts, lens, counts, _null = split_words(texts)
+    h7, L = poly_hash_flat(data, starts, lens, M, want_pow=True)
+    n_docs = counts.size
+    nw_rep = np.repeat(counts, counts)
+    word_off = np.concatenate([[0], np.cumsum(counts)])
+    loc = np.arange(nw_rep.size, dtype=np.int64) - np.repeat(
+        word_off[:-1], counts)
+    # gram start flags: full k-grams at loc <= nw-k; short docs (0<nw<k)
+    # one gram at loc 0
+    is_start = (loc + k <= nw_rep) | ((loc == 0) & (nw_rep < k))
+    g_start = np.flatnonzero(is_start)
+    g_len = np.minimum(nw_rep[g_start] - loc[g_start], k)
+    acc = h7[g_start].copy()
+    for j in range(1, k):
+        act = g_len > j
+        idx = g_start[act] + j
+        t = (acc[act] * mult + (space - seed)) % M
+        acc[act] = (t * L[idx] + h7[idx]) % M
+    # per-doc gram counts (>= 1 once empty docs get the "" gram)
+    gcnt = np.where(counts >= k, counts - k + 1,
+                    np.where(counts > 0, 1, 0)).astype(np.int64)
+    if (counts == 0).any():
+        # splice one seed-hash gram per empty doc, in doc order
+        g_doc = np.repeat(np.arange(n_docs), gcnt)
+        full = np.empty(acc.size + int((counts == 0).sum()), dtype=np.int64)
+        full_doc = np.empty(full.size, dtype=np.int64)
+        pos = 0
+        out_i = 0
+        # vectorized splice: order grams of all docs by doc id with
+        # empties contributing one constant gram
+        gcnt2 = np.where(counts == 0, 1, gcnt)
+        new_off = np.concatenate([[0], np.cumsum(gcnt2)])
+        # Spark quirk, replicated exactly: poly_hash_expr("") evaluates
+        # sequence(1, length('')) = sequence(1, 0) = [1, 0] (Spark
+        # sequences run BACKWARDS when start > stop), and
+        # ascii(substr('', i, 1)) = 0 — so the empty shingle hashes to
+        # ((seed*31 + 0)*31 + 0) % M, not to seed.
+        full[:] = (seed * mult * mult) % M
+        take = np.repeat(new_off[:-1][counts > 0], gcnt[counts > 0]) + (
+            np.arange(acc.size) - np.repeat(
+                np.concatenate([[0], np.cumsum(gcnt[counts > 0])])[:-1],
+                gcnt[counts > 0]))
+        full[take] = acc
+        acc = full
+        gcnt = gcnt2
+    g_off = np.concatenate([[0], np.cumsum(gcnt)])
+    num_perm = len(a_consts)
+    sig = np.empty((n_docs, num_perm), dtype=np.int64)
+    A = np.asarray(a_consts, dtype=np.int64)
+    B = np.asarray(b_consts, dtype=np.int64)
+    for j in range(num_perm):
+        v = (A[j] * acc + B[j]) % M
+        sig[:, j] = np.minimum.reduceat(v, g_off[:-1])
+    return sig
