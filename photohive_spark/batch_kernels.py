@@ -80,6 +80,50 @@ def _bandpass_energy_batch(x: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=32)
+def _bandpass_acf_weights(cfg: EngineConfig, k_eff: int):
+    """Per-filter lag weights W[f, d] = sum_u c_u c_{u-d} (d = 0..k-1) of
+    the (possibly length-folded) Gabor bank, plus per-filter coefficient
+    sums — the quadratic-form constants for _bandpass_energy_acf."""
+    bank = K.gabor_bank(cfg)
+    nfilt, taps = bank.shape
+    if k_eff < taps:                   # tiny rows: taps folded modulo n
+        coefs = np.zeros((nfilt, k_eff))
+        for j in range(taps):
+            coefs[:, j % k_eff] += bank[:, j]
+    else:
+        coefs = bank
+    W = np.stack([np.correlate(c, c, mode="full")[len(c) - 1:]
+                  for c in coefs])
+    return W, coefs.sum(axis=1), coefs.shape[1], taps
+
+
+def _bandpass_energy_acf(x: np.ndarray, cfg: EngineConfig,
+                         mu: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Gabor bandpass energies from the centered circular autocorrelation
+    ``r`` (= irfft(|rfft(x - mu)|^2)) — algebraically identical to
+    _bandpass_energy_batch's direct circular convolution:
+
+        E_f = mean_t (sum_u c_u x[(t-u) mod n] / taps)^2
+            = (1/(n*taps^2)) sum_{u,v} c_u c_v R_raw((u-v) mod n)
+
+    with R_raw(d) = r[d mod n] + n*mu^2 (raw vs centered circular acf
+    differ by exactly n*mu^2 at every lag). The FFT work is already paid
+    by the autocorrelation feature; this combine is O(m * nfilt * taps)."""
+    m, n = x.shape
+    taps0 = K.gabor_bank(cfg).shape[1]
+    W, sw, k, taps = _bandpass_acf_weights(cfg, min(n, taps0))
+    E = W[:, 0][None, :] * r[:, 0][:, None]
+    if k > 1:
+        idx_pos = np.arange(1, k) % n
+        idx_neg = (-np.arange(1, k)) % n
+        E = E + (W[:, 1:][None, :, :]
+                 * (r[:, idx_pos][:, None, :]
+                    + r[:, idx_neg][:, None, :])).sum(axis=2)
+    E = E + (sw ** 2)[None, :] * (n * mu ** 2)[:, None]
+    return E / (n * taps ** 2)
+
+
 def _lognorm_rows(p: np.ndarray) -> np.ndarray:
     """Row-wise pgm_normalize_fft (kernels.lognorm_power vectorized over the
     leading axis): per-row max -> G_s; x<1 -> 0."""
@@ -101,10 +145,13 @@ def _saliency_weights(cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
             + cfg.saturation_value_weight * ns * nv) * 1000.0
 
 
-def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
-                   g: np.ndarray, counts: np.ndarray,
-                   cfg: EngineConfig) -> list:
-    """Vectorized K.palette across an equal-length group.
+def _palette_core(h: np.ndarray, s: np.ndarray, v: np.ndarray,
+                  g: np.ndarray, counts: np.ndarray,
+                  cfg: EngineConfig):
+    """Vectorized K.palette across an equal-length group — FLAT outputs.
+
+    Returns (n_par int64 (m,), h_avg, s_avg, v_avg, pct) where the value
+    matrices are (m, pmax) with entries valid for rank < n_par[row].
 
     Replicates the per-doc semantics exactly, including the tie rules:
     parent selection orders by (saliency desc, cell asc) via stable argsort;
@@ -127,13 +174,21 @@ def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
 
     n_par = keep.sum(axis=1)                              # parents per row
 
-    # --- assign_parents: per-row argmin over the (112 x P) slice — same
-    # small op as the per-doc path (ties = first occurrence in saliency
-    # order, exactly K.assign_parents); everything downstream is batched ---
+    # --- assign_parents, batched (r7): argmin over masked (slab, cells,
+    # pmax) distance tensor — np.argmin picks the FIRST minimum, which is
+    # exactly the per-doc tie rule (first occurrence in saliency order).
+    # Row slabs bound the tensor to ~32 MB regardless of group size. ---
+    pmax0 = int(n_par.max()) if m else 0
     nearest_rank = np.empty((m, cells), dtype=np.int64)
-    for r in range(m):
-        pc = order[r, : n_par[r]]
-        nearest_rank[r] = np.argmin(D[:, pc], axis=1)
+    slab = max(1, int(4_000_000 // max(1, cells * max(1, pmax0))))
+    ranks = np.arange(pmax0)
+    for lo in range(0, m, slab):
+        hi_ = min(m, lo + slab)
+        Dp = np.ascontiguousarray(
+            np.moveaxis(D[:, order[lo:hi_, :pmax0]], 1, 0))  # (slab, cells, pmax)
+        invalid = ranks[None, :] >= n_par[lo:hi_, None]      # (slab, pmax)
+        Dp[np.broadcast_to(invalid[:, None, :], Dp.shape)] = np.inf
+        nearest_rank[lo:hi_] = np.argmin(Dp, axis=2)
     rank_of_tok = np.take_along_axis(nearest_rank, g, axis=1)       # (m, n)
 
     # --- grouped circular-mean averages via offset bincounts ---
@@ -166,17 +221,25 @@ def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
     s_avg = np.where(valid, sum_s / safe, 0.0)
     v_avg = np.where(valid, sum_v / safe, 0.0)
     pct = np.where(valid, cnts * inv_n, 0.0)
+    return n_par, h_avg, s_avg, v_avg, pct
 
+
+def _palette_batch(h: np.ndarray, s: np.ndarray, v: np.ndarray,
+                   g: np.ndarray, counts: np.ndarray,
+                   cfg: EngineConfig) -> list:
+    """Per-row list view of _palette_core (the legacy/test API)."""
+    n_par, h_avg, s_avg, v_avg, pct = _palette_core(h, s, v, g, counts, cfg)
     out = []
-    for r in range(m):
+    for r in range(g.shape[0]):
         k = int(n_par[r])
         out.append(list(zip(h_avg[r, :k].tolist(), s_avg[r, :k].tolist(),
                             v_avg[r, :k].tolist(), pct[r, :k].tolist())))
     return out
 
 
-def _peaks_batch(prof: np.ndarray, cfg: EngineConfig) -> list[list]:
-    """Vectorized K.spectral_peaks across an equal-shape group.
+def _peaks_core(prof: np.ndarray, cfg: EngineConfig):
+    """Vectorized K.spectral_peaks across an equal-shape group — FLAT
+    output (rows_idx, angle, magnitude), row-major, cap 10 per row.
 
     prof: (m, na, nr). Per-doc profiling showed the row loop over
     K.spectral_peaks dominating kernel time (~41 of 137 core-seconds at
@@ -227,17 +290,23 @@ def _peaks_batch(prof: np.ndarray, cfg: EngineConfig) -> list[list]:
     zero_out = tot[rows_idx, pa] > avg[rows_idx]
     mags = (fb.astype(np.float32) / np.float32(nr)).astype(np.float64)
     degs = deg[pa]
-    out: list[list] = [[] for _ in range(m)]
+    ang_flat = np.where(zero_out, 0, degs).astype(np.int64)
+    mag_flat = np.where(zero_out, 0.0, mags)
+    return rows_idx, ang_flat, mag_flat
+
+
+def _peaks_batch(prof: np.ndarray, cfg: EngineConfig) -> list[list]:
+    """Per-row list view of _peaks_core (the legacy/test API)."""
+    rows_idx, ang_flat, mag_flat = _peaks_core(prof, cfg)
+    out: list[list] = [[] for _ in range(prof.shape[0])]
     for i in range(rows_idx.size):
-        if zero_out[i]:
-            out[rows_idx[i]].append((0, 0.0))
-        else:
-            out[rows_idx[i]].append((int(degs[i]), float(mags[i])))
+        out[rows_idx[i]].append((int(ang_flat[i]), float(mag_flat[i])))
     return out
 
 
 def _group_features(T: np.ndarray, cfg: EngineConfig,
-                    timings: dict[str, float] | None = None) -> dict:
+                    timings: dict[str, float] | None = None,
+                    flat: bool = False) -> dict:
     """All features for one equal-length group. T: (m, n) int32, n >= 1.
 
     ``timings`` (optional) accumulates wall seconds per kernel FAMILY —
@@ -294,10 +363,17 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
         r0 = r[:, 0]
         ok = r0 > 0
         ac[ok, :k] = r[ok, :k] / r0[ok, None]
+    else:
+        r = np.zeros((m, n))      # n == 1: centered circular acf is 0
     _t = _mark("autocorr_s", _t)
 
-    # bandpass energy: batched direct circular convolution
-    bp = _bandpass_energy_batch(x, cfg)
+    # bandpass energy (r7): quadratic form over the circular
+    # autocorrelation already in hand — E_f = (1/(n*taps^2)) *
+    # sum_{u,v} c_u c_v R_raw((u-v) mod n) with R_raw(d) = r[d] + n*mu^2,
+    # so the whole Gabor bank costs one tiny (k x nfilt) combine per row
+    # instead of a windowed convolution. Equal to the direct form to
+    # ~1e-14 relative (parity-tested; tolerance 1e-7).
+    bp = _bandpass_energy_acf(x, cfg, rms_mean, r)
     _t = _mark("bandpass_s", _t)
 
     # blur profile framing + batched peaks + palette
@@ -321,17 +397,26 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
     else:
         prof = np.zeros((m, na, nr))
     _t = _mark("blur_fft_s", _t)
-    pal_list = _palette_batch(h, s, v, g, counts, cfg)
-    _t = _mark("palette_s", _t)
-    peaks_list = _peaks_batch(prof, cfg)
-    _t = _mark("peaks_s", _t)
-
-    return {
+    out = {
         "rms_mean": rms_mean, "rms_std": rms_std, "mean_norm_value": mean_norm,
-        "hist_counts": counts, "hist_entropy": ent, "palette": pal_list,
-        "spectrum_bands": bands, "spectral_peaks": peaks_list,
+        "hist_counts": counts, "hist_entropy": ent,
+        "spectrum_bands": bands,
         "autocorr": ac, "bandpass_energy": bp, "sharpness_avg": sh_avg,
     }
+    if flat:
+        # r7 Arrow path: keep palette/peaks as flat numpy structures —
+        # the per-row list assembly below is exactly the cost the Arrow
+        # output path removes
+        out["palette_flat"] = _palette_core(h, s, v, g, counts, cfg)
+        _t = _mark("palette_s", _t)
+        out["peaks_flat"] = _peaks_core(prof, cfg)
+        _t = _mark("peaks_s", _t)
+        return out
+    out["palette"] = _palette_batch(h, s, v, g, counts, cfg)
+    _t = _mark("palette_s", _t)
+    out["spectral_peaks"] = _peaks_batch(prof, cfg)
+    _t = _mark("peaks_s", _t)
+    return out
 
 
 def length_groups(arrays: list) -> dict[int, list[int]]:
@@ -469,4 +554,176 @@ def batch_extract(token_arrays: list, cfg: EngineConfig = DEFAULT_CONFIG,
         row["spectral_peaks"] = cols["spectral_peaks"][i]
         row["sharpness"] = cols["sharpness"][i]
         out.append(row)
+    return out
+
+# ---------------------------------------------------------------------------
+# r7: Arrow-native batch extraction — zero pandas, zero per-row Python on
+# the output path. Input is the tokens ListArray straight from the
+# mapInArrow record batch (flat values + offsets, no per-row ndarray
+# materialization); outputs are pyarrow arrays built from flat numpy
+# buffers (fixed-width features via one reshape, palette/peaks via a
+# segmented scatter). Values are IDENTICAL to batch_extract_columns
+# (same _group_features per length group) — parity-pinned in tests.
+# ---------------------------------------------------------------------------
+
+def _scatter_varlen(n_rows: int, row_ids: np.ndarray, seg_lens: np.ndarray,
+                    flats: list):
+    """Reorder group-major variable-length segments into row order.
+
+    ``row_ids``: target row per segment (one segment per row, group-major
+    concatenation order); ``seg_lens``: entries per segment; ``flats``:
+    value arrays aligned with the segment concatenation. Returns
+    (row_lens, [reordered flats])."""
+    row_lens = np.zeros(n_rows, dtype=np.int64)
+    row_lens[row_ids] = seg_lens
+    out_off = np.concatenate([[0], np.cumsum(row_lens)])
+    total = int(out_off[-1])
+    val_row = np.repeat(row_ids, seg_lens)
+    seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_off, seg_lens)
+    pos = out_off[val_row] + within
+    outs = []
+    for f in flats:
+        o = np.empty(total, dtype=f.dtype)
+        o[pos] = f
+        outs.append(o)
+    return row_lens, outs
+
+
+def batch_extract_arrow(tokens_arr, cfg: EngineConfig = DEFAULT_CONFIG,
+                        rois_list: list | None = None,
+                        timings: dict[str, float] | None = None) -> dict:
+    """Features for one Arrow batch as PYARROW ARRAYS, computed from the
+    tokens ListArray directly. Row-for-row the same values as
+    batch_extract_columns (parity-pinned); only the data path differs:
+
+    - input: one flat int32 gather per length group (no per-row
+      np.asarray + np.stack);
+    - fixed-width outputs (hist_counts, spectrum_bands, autocorr,
+      bandpass_energy): (N, W) scatter + one ListArray over the raveled
+      buffer;
+    - palette / spectral_peaks: flat struct children + offsets via
+      _scatter_varlen — no per-row list-of-dict assembly at all.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    N = len(tokens_arr)
+    lens = pc.fill_null(pc.list_value_length(tokens_arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tokens_arr.flatten().to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+
+    scal = {c: np.zeros(N) for c in _SCALAR_COLS}
+    nb, nl = cfg.radius_parts, cfg.autocorr_lags
+    nf = K.gabor_bank(cfg).shape[0]
+    hist_mat = np.zeros((N, cfg.hist_cells), dtype=np.int64)
+    bands_mat = np.zeros((N, nb))
+    ac_mat = np.zeros((N, nl))
+    bp_mat = np.zeros((N, nf))
+    pal_rows, pal_lens = [], []
+    pal_flats = [[], [], [], []]                # h, s, v, pct
+    pk_rows, pk_ang, pk_mag = [], [], []
+
+    for n in np.unique(lens):
+        idx = np.flatnonzero(lens == n)
+        if n == 0:
+            from .engine import features_row
+            empty = features_row(np.array([], dtype=np.int32), cfg)
+            for c in _SCALAR_COLS:
+                scal[c][idx] = empty[c]
+            hist_mat[idx] = np.asarray(empty["hist_counts"], dtype=np.int64)
+            bands_mat[idx] = np.asarray(empty["spectrum_bands"])
+            ac_mat[idx] = np.asarray(empty["autocorr"])
+            bp_mat[idx] = np.asarray(empty["bandpass_energy"])
+            continue
+        T = vals[starts[idx][:, None] + np.arange(n)].astype(np.int32)
+        gf = _group_features(T, cfg, timings, flat=True)
+        for c in _SCALAR_COLS:
+            scal[c][idx] = gf[c]
+        hist_mat[idx] = gf["hist_counts"]
+        bands_mat[idx] = gf["spectrum_bands"]
+        ac_mat[idx] = gf["autocorr"]
+        bp_mat[idx] = gf["bandpass_energy"]
+        n_par, h_avg, s_avg, v_avg, pct = gf["palette_flat"]
+        n_cap = np.minimum(n_par, 100)          # features_row's [:100] cap
+        pmax = h_avg.shape[1]
+        vmask = np.arange(pmax)[None, :] < n_cap[:, None]
+        pal_rows.append(idx)
+        pal_lens.append(n_cap)
+        for j, mat in enumerate((h_avg, s_avg, v_avg, pct)):
+            pal_flats[j].append(mat[vmask])
+        rows_idx, ang, mag = gf["peaks_flat"]
+        pk_rows.append(idx[rows_idx])
+        pk_ang.append(ang)
+        pk_mag.append(mag)
+
+    def fixed_list(mat, pa_type):
+        offs = pa.array((np.arange(N + 1, dtype=np.int64)
+                         * mat.shape[1]).astype(np.int32), type=pa.int32())
+        return pa.ListArray.from_arrays(
+            offs, pa.array(mat.ravel(), type=pa_type))
+
+    out = {
+        "rms_mean": pa.array(scal["rms_mean"]),
+        "rms_std": pa.array(scal["rms_std"]),
+        "mean_norm_value": pa.array(scal["mean_norm_value"]),
+        "hist_counts": fixed_list(hist_mat, pa.int64()),
+        "hist_entropy": pa.array(scal["hist_entropy"]),
+        "spectrum_bands": fixed_list(bands_mat, pa.float64()),
+        "autocorr": fixed_list(ac_mat, pa.float64()),
+        "bandpass_energy": fixed_list(bp_mat, pa.float64()),
+        "sharpness_avg": pa.array(scal["sharpness_avg"]),
+    }
+
+    # palette: segmented scatter of the group-major flats into row order
+    if pal_rows:
+        row_lens, (hh, ss, vv, pp) = _scatter_varlen(
+            N, np.concatenate(pal_rows), np.concatenate(pal_lens),
+            [np.concatenate(f) for f in pal_flats])
+    else:
+        row_lens = np.zeros(N, dtype=np.int64)
+        hh = ss = vv = pp = np.zeros(0)
+    pal_struct = pa.StructArray.from_arrays(
+        [pa.array(hh), pa.array(ss), pa.array(vv), pa.array(pp)],
+        names=["h", "s", "v", "pct"])
+    out["palette"] = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(row_lens)])
+                 .astype(np.int32), type=pa.int32()), pal_struct)
+
+    # spectral peaks (capped at 10 inside _peaks_core). Stable sort by
+    # target row restores row order; within-row order is preserved since
+    # each row lives in exactly one group.
+    if pk_rows:
+        prow = np.concatenate(pk_rows)
+        order = np.argsort(prow, kind="stable")
+        pang = np.concatenate(pk_ang)[order]
+        pmag = np.concatenate(pk_mag)[order]
+        row_cnt = np.bincount(prow, minlength=N).astype(np.int64)
+    else:
+        row_cnt = np.zeros(N, dtype=np.int64)
+        pang = np.zeros(0, dtype=np.int64)
+        pmag = np.zeros(0)
+    pk_struct = pa.StructArray.from_arrays(
+        [pa.array(pang.astype(np.int32), type=pa.int32()), pa.array(pmag)],
+        names=["angle", "magnitude"])
+    out["spectral_peaks"] = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(row_cnt)])
+                 .astype(np.int32), type=pa.int32()), pk_struct)
+
+    # per-ROI sharpness (rare path; per-row python, as before)
+    if rois_list is not None and any(rois_list):
+        sharp = []
+        for i, rois in enumerate(rois_list):
+            if not rois:
+                sharp.append([])
+                continue
+            x = vals[starts[i]:starts[i] + lens[i]].astype(np.float64) \
+                / VOCAB_SIZE
+            sharp.append([float(t) for t in K.sharpness_rois(x, rois)])
+        out["sharpness"] = pa.array(sharp, type=pa.list_(pa.float64()))
+    else:
+        out["sharpness"] = pa.ListArray.from_arrays(
+            pa.array(np.zeros(N + 1, dtype=np.int32), type=pa.int32()),
+            pa.array(np.zeros(0)))
     return out

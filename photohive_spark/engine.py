@@ -157,6 +157,49 @@ def _make_kernel(cfg: EngineConfig, roi_col: str | None = None,
     return extract
 
 
+def _make_arrow_kernel(cfg: EngineConfig, roi_col: str | None = None,
+                       time_acc=None, stage_accs=None):
+    """Build the mapInArrow function (r7): the kernel DAG runs straight
+    off the record batch's tokens ListArray (flat values + offsets — no
+    per-row ndarray materialization, no pandas on either side), and the
+    outputs are assembled as Arrow arrays from flat numpy buffers
+    (batch_kernels.batch_extract_arrow). Passthrough columns (doc_id,
+    tokens, n_tok, source, event_ts) are reused zero-copy."""
+    feature_names = [f.name for f in FEATURE_FIELDS]
+    pass_cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
+
+    def extract(batches):
+        import time as _time
+
+        import pyarrow as pa
+
+        from .batch_kernels import batch_extract_arrow
+        for batch in batches:
+            t0 = _time.perf_counter()
+            names = batch.schema.names
+            toks = batch.column(names.index("tokens"))
+            rois_list = None
+            if roi_col is not None and roi_col in names:
+                rois_list = [
+                    None if cell is None
+                    else [(int(r["start"]), int(r["end"])) for r in cell]
+                    for cell in batch.column(names.index(roi_col)).to_pylist()]
+            timings = {} if stage_accs is not None else None
+            cols = batch_extract_arrow(toks, cfg, rois_list, timings=timings)
+            if stage_accs is not None:
+                for name, secs in timings.items():
+                    if name in stage_accs:
+                        stage_accs[name].add(secs)
+            if time_acc is not None:
+                time_acc.add(_time.perf_counter() - t0)
+            arrays = [batch.column(names.index(c)) for c in pass_cols]
+            arrays += [cols[n] for n in feature_names]
+            yield pa.RecordBatch.from_arrays(arrays,
+                                             pass_cols + feature_names)
+
+    return extract
+
+
 KERNEL_STAGES = ("stats_s", "hist_s", "autocorr_s", "bandpass_s",
                  "blur_fft_s", "palette_s", "peaks_s")
 
@@ -179,14 +222,19 @@ def extract_features_df(tokens_df: DataFrame,
     ``src/interface.c:24-27``); when given, the output ``sharpness`` column
     carries one per-ROI sharpness per entry (cap 10), else it is empty.
 
-    Stage shape: Scan -> [optional cost rebalance] -> MapInPandas. No
-    shuffle unless the caller opted into rebalancing.
+    Stage shape: Scan -> [optional cost rebalance] -> MapInArrow. No
+    shuffle unless the caller opted into rebalancing. (r7: the Python
+    stage is mapInArrow — tokens flow in as flat Arrow buffers and
+    features flow out as Arrow arrays built from flat numpy, removing
+    the pandas conversion and all per-row list/dict assembly on the
+    boundary; values identical, parity-pinned in tests.)
     """
     cols = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
     if roi_col is not None:
         cols.append(roi_col)
-    return tokens_df.select(*cols).mapInPandas(
-        _make_kernel(cfg, roi_col, time_acc, stage_accs), FEATURE_SCHEMA)
+    return tokens_df.select(*cols).mapInArrow(
+        _make_arrow_kernel(cfg, roi_col, time_acc, stage_accs),
+        FEATURE_SCHEMA)
 
 
 def flatten_features(features: DataFrame, n_palette: int = 100,

@@ -57,7 +57,7 @@ def test_no_row_python_in_plan(spark, sf_dir):
     plan = (extract_features_df(tokens_table(spark, sf_dir), CFG)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan    # r7: Arrow-native kernel stage
 
 
 def test_long_tail_docs_through_spark(spark):

@@ -40,7 +40,7 @@ def test_flagship_has_no_shuffle(spark, sf_dir):
     plan = _plan(extract_features_df(tokens_table(spark, sf_dir)))
     assert plan.count("Exchange") <= 1, plan
     assert "hashpartitioning(_rb" in plan or "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan    # r7: Arrow-native kernel stage
     assert "BatchEvalPython" not in plan
 
     # on an input that is already parallel enough, extract itself adds
