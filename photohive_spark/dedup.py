@@ -107,6 +107,30 @@ def word_shingles(docs: DataFrame, text_col: str = "text",
     ran INTERPRETED per element (Spark HOFs are CodegenFallback) and
     dominated 500k-doc dedup profiles; the window pays one exchange on
     id_col instead."""
+    if distinct:
+        # r7: distinct shingles per doc in ONE vectorized mapInArrow
+        # stage (fast_hash.shingles_arrow — pyarrow take/binary_join for
+        # the strings, dictionary_encode for EXACT per-doc dedup). Same
+        # row set as the window form (parity-pinned); removes the window
+        # exchange+sort AND the distinct exchange. Assumes one row per
+        # id (true of every caller): the old global .distinct() would
+        # additionally merge byte-identical duplicate-id rows.
+        import pyarrow as pa
+
+        src = docs.select(id_col, text_col)
+        id_type = src.schema[id_col].dataType.simpleString()
+
+        def f(batches):
+            from photohive_spark.fast_hash import shingles_arrow
+            for b in batches:
+                names = b.schema.names
+                doc_idx, grams = shingles_arrow(
+                    b.column(names.index(text_col)), k)
+                ids = b.column(names.index(id_col)).take(pa.array(doc_idx))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, grams], [id_col, "shingle"])
+
+        return src.mapInArrow(f, f"{id_col} {id_type}, shingle string")
     rows = _word_gram_rows(docs, text_col, id_col, k)
     win = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]

@@ -248,3 +248,85 @@ def minhash_sig_arrow(texts, k: int, a_consts, b_consts,
         v = (A[j] * acc + B[j]) % M
         sig[:, j] = np.minimum.reduceat(v, g_off[:-1])
     return sig
+
+
+def shingles_arrow(texts, k: int):
+    """DISTINCT word k-gram shingle strings per doc for one Arrow batch —
+    identical row set to dedup.word_shingles(distinct=True): full k-grams
+    for docs with >= k words, one all-words gram for 0 < nw < k, and the
+    "" shingle for empty/null docs.
+
+    Returns (doc_idx int64 ndarray, grams pyarrow StringArray) aligned.
+    Gram strings are assembled with pyarrow C kernels (take +
+    binary_join_element_wise); per-doc dedup is EXACT string equality
+    via dictionary_encode (no hashing anywhere).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    data, starts, lens, counts, _null = split_words(texts)
+    # kept words as a pyarrow StringArray (doc-major order), rebuilt
+    # from the flat buffers (cheap, exact)
+    total = int(lens.sum())
+    w_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    w_data = np.empty(total, dtype=np.uint8)
+    pos = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(w_off[:-1].astype(np.int64), lens))
+    w_data[:] = data[pos] if total else 0
+    words = pa.StringArray.from_buffers(
+        len(lens), pa.py_buffer(w_off.tobytes()),
+        pa.py_buffer(w_data.tobytes()))
+
+    n_docs = counts.size
+    nw_rep = np.repeat(counts, counts)
+    word_off = np.concatenate([[0], np.cumsum(counts)])
+    loc = np.arange(nw_rep.size, dtype=np.int64) - np.repeat(
+        word_off[:-1], counts)
+    is_start = (loc + k <= nw_rep) | ((loc == 0) & (nw_rep < k))
+    g_start = np.flatnonzero(is_start)
+    g_len = np.minimum(nw_rep[g_start] - loc[g_start], k)
+    gcnt = np.where(counts >= k, counts - k + 1,
+                    np.where(counts > 0, 1, 0)).astype(np.int64)
+    g_doc = np.repeat(np.arange(n_docs), gcnt)
+
+    if g_start.size:
+        # gram -> list<word> -> binary_join(" ")
+        n_g = g_start.size
+        tot_w = int(g_len.sum())
+        gl_off = np.concatenate([[0], np.cumsum(g_len)]).astype(np.int32)
+        widx = np.repeat(g_start, g_len) + (
+            np.arange(tot_w, dtype=np.int64)
+            - np.repeat(gl_off[:-1].astype(np.int64), g_len))
+        gram_words = words.take(pa.array(widx))
+        gram_lists = pa.ListArray.from_arrays(
+            pa.array(gl_off, type=pa.int32()), gram_words)
+        grams = pc.binary_join(gram_lists, " ")
+    else:
+        grams = pa.array([], type=pa.string())
+
+    # splice the "" shingle for empty docs (doc-major order preserved)
+    if (counts == 0).any():
+        gcnt2 = np.where(counts == 0, 1, gcnt)
+        g_doc = np.repeat(np.arange(n_docs), gcnt2)
+        new_off = np.concatenate([[0], np.cumsum(gcnt2)])
+        full_idx = np.full(int(gcnt2.sum()), -1, dtype=np.int64)
+        take = np.repeat(new_off[:-1][counts > 0], gcnt[counts > 0]) + (
+            np.arange(g_start.size) - np.repeat(
+                np.concatenate([[0], np.cumsum(gcnt[counts > 0])])[:-1],
+                gcnt[counts > 0]))
+        full_idx[take] = np.arange(g_start.size)
+        grams = pa.concat_arrays([grams, pa.array([""], type=pa.string())])
+        full_idx[full_idx < 0] = g_start.size          # -> the "" slot
+        grams = grams.take(pa.array(full_idx))
+
+    # exact per-doc distinct: dictionary codes are exact string identity
+    if len(grams):
+        dict_arr = pc.dictionary_encode(grams)
+        codes = np.asarray(dict_arr.indices, dtype=np.int64)
+        ndict = len(dict_arr.dictionary)
+        key = g_doc * max(ndict, 1) + codes
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        return g_doc[first], grams.take(pa.array(first))
+    return g_doc[:0], grams

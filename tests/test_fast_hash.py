@@ -76,3 +76,17 @@ def test_minhash_sig_plan_has_no_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan
     assert "Exchange" not in plan
+
+
+def test_word_shingles_arrow_matches_window_form(spark, sf_dir):
+    """The vectorized distinct-shingle builder == the window+distinct
+    form, as a row SET, on the corpus and on edge docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source")
+    for frame in (docs, _edge_df(spark)):
+        for k in (1, 3):
+            fast = dedup.word_shingles(frame, k=k)
+            # legacy: non-distinct window form + global distinct
+            slow = dedup.word_shingles(frame, k=k, distinct=False).distinct()
+            assert fast.exceptAll(slow).count() == 0, k
+            assert slow.exceptAll(fast).count() == 0, k
