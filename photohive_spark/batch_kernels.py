@@ -174,22 +174,27 @@ def _palette_core(h: np.ndarray, s: np.ndarray, v: np.ndarray,
 
     n_par = keep.sum(axis=1)                              # parents per row
 
-    # --- assign_parents, batched (r7): argmin over masked (slab, cells,
-    # pmax) distance tensor — np.argmin picks the FIRST minimum, which is
-    # exactly the per-doc tie rule (first occurrence in saliency order).
-    # Row slabs bound the tensor to ~32 MB regardless of group size. ---
+    # --- assign_parents, batched (r7): argmin over masked distance rows,
+    # computed ONLY for OCCUPIED (row, cell) pairs — rank_of_tok below
+    # reads nearest-parent ranks solely at cells the row's tokens hit
+    # (<= min(n, cells) of the 112), so the dense (m, cells, pmax)
+    # tensor would be ~3x pure waste. np.argmin picks the FIRST minimum,
+    # which is exactly the per-doc tie rule (first occurrence in
+    # saliency order). Pair slabs bound peak memory. ---
     pmax0 = int(n_par.max()) if m else 0
-    nearest_rank = np.empty((m, cells), dtype=np.int64)
-    slab = max(1, int(4_000_000 // max(1, cells * max(1, pmax0))))
+    occ_r, occ_c = np.nonzero(counts)                     # row-major
+    nearest_occ = np.empty(occ_r.size, dtype=np.int64)
     ranks = np.arange(pmax0)
-    for lo in range(0, m, slab):
-        hi_ = min(m, lo + slab)
-        Dp = np.ascontiguousarray(
-            np.moveaxis(D[:, order[lo:hi_, :pmax0]], 1, 0))  # (slab, cells, pmax)
-        invalid = ranks[None, :] >= n_par[lo:hi_, None]      # (slab, pmax)
-        Dp[np.broadcast_to(invalid[:, None, :], Dp.shape)] = np.inf
-        nearest_rank[lo:hi_] = np.argmin(Dp, axis=2)
-    rank_of_tok = np.take_along_axis(nearest_rank, g, axis=1)       # (m, n)
+    slab = max(1, int(4_000_000 // max(1, pmax0)))
+    for lo in range(0, occ_r.size, slab):
+        hi_ = min(occ_r.size, lo + slab)
+        rs, cs = occ_r[lo:hi_], occ_c[lo:hi_]
+        Dvals = D[cs[:, None], order[rs, :pmax0]]         # (slab, pmax)
+        Dvals[ranks[None, :] >= n_par[rs, None]] = np.inf
+        nearest_occ[lo:hi_] = np.argmin(Dvals, axis=1)
+    rank_lookup = np.zeros((m, cells), dtype=np.int64)
+    rank_lookup[occ_r, occ_c] = nearest_occ
+    rank_of_tok = np.take_along_axis(rank_lookup, g, axis=1)        # (m, n)
 
     # --- grouped circular-mean averages via offset bincounts ---
     pmax = int(n_par.max()) if m else 0
@@ -304,6 +309,61 @@ def _peaks_batch(prof: np.ndarray, cfg: EngineConfig) -> list[list]:
     return out
 
 
+def _peaks_core_1d(prof_r: np.ndarray, angle: int, cfg: EngineConfig):
+    """_peaks_core for the single-occupied-angle case (hh == 1): the
+    dense profile is prof[:, a, :] == prof_r when a == angle, else
+    zeros. Every summation replicates the dense pairwise tree exactly
+    (adding exact +0.0 is an FP identity), so the output is
+    bit-identical to _peaks_core on the equivalent dense profile —
+    pinned by tests — without ever allocating the (m, na, nr) zeros."""
+    m, nr = prof_r.shape
+    na = cfg.angle_parts
+    rc = nr // cfg.cutoff_ratio_denom
+    tot = np.zeros((m, na))
+    tot[:, angle] = prof_r[:, :rc].sum(axis=1)
+    avg = tot.sum(axis=1) / na
+    smooth = sum(np.roll(tot, j, axis=1) for j in (4, 3, 2, 1, 0)) / 5.0
+    mask = ((smooth > np.roll(smooth, 1, axis=1))
+            & (smooth > np.roll(smooth, -1, axis=1))
+            & (smooth > (avg * cfg.fft_streak_thresh)[:, None]))
+    deg = _deg_table(na)
+    half = na // 2
+    rows_idx, ang_idx = np.nonzero(mask)
+    bounds = np.searchsorted(rows_idx, np.arange(m + 1))
+    pos = np.arange(rows_idx.size) - bounds[rows_idx]
+    keep = pos < 10
+    rows_idx, ang_idx = rows_idx[keep], ang_idx[keep]
+    pa = (ang_idx + half) % na
+    sig = np.where((pa == angle)[:, None], prof_r[rows_idx], 0.0)
+    bel = sig < cfg.magnitude_thresh
+    fb = np.where(bel.any(axis=1), bel.argmax(axis=1), nr)
+    zero_out = tot[rows_idx, pa] > avg[rows_idx]
+    mags = (fb.astype(np.float32) / np.float32(nr)).astype(np.float64)
+    degs = deg[pa]
+    ang_flat = np.where(zero_out, 0, degs).astype(np.int64)
+    mag_flat = np.where(zero_out, 0.0, mags)
+    return rows_idx, ang_flat, mag_flat
+
+
+def _dense_profile(P2n: np.ndarray, flat_lut: np.ndarray,
+                   m: int, na: int, nr: int) -> np.ndarray:
+    """Dense (m, na, nr) polar-binned profile (the hh > 1 path)."""
+    quant2 = np.bincount(flat_lut, minlength=na * nr)
+    ids = (flat_lut[None, :] + (np.arange(m) * na * nr)[:, None]).ravel()
+    sums2 = np.bincount(ids, weights=P2n.reshape(m, -1).ravel(),
+                        minlength=m * na * nr).reshape(m, na * nr)
+    nz2 = quant2 > 0
+    prof = np.zeros((m, na * nr))
+    prof[:, nz2] = sums2[:, nz2] / quant2[nz2]
+    return prof.reshape(m, na, nr)
+
+
+@lru_cache(maxsize=8)
+def _deg_table(na: int) -> np.ndarray:
+    return np.array([int(180.0 * (np.float32(a) / np.float32(na)) - 90.0)
+                     for a in range(na)])
+
+
 def _group_features(T: np.ndarray, cfg: EngineConfig,
                     timings: dict[str, float] | None = None,
                     flat: bool = False) -> dict:
@@ -378,24 +438,50 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
 
     # blur profile framing + batched peaks + palette
     na, nr = cfg.angle_parts, cfg.radius_parts
+    prof = None                       # dense (m, na, nr) — hh > 1 only
+    prof_r = None                     # compact single-angle radius profile
+    prof_angle = 0
     if n >= 2:
         w = min(n, cfg.frame_width)
         hh = n // w
-        planes = x[:, : hh * w].reshape(m, hh, w) - rms_mean[:, None, None]
-        P2 = np.abs(np.fft.rfft2(planes, axes=(1, 2))) ** 2
-        P2n = _lognorm_rows(P2)
-        fh, fw = P2n.shape[1], P2n.shape[2]
-        flat_lut = K._polar_bin_ids(fh, fw, na, nr)
-        quant2 = np.bincount(flat_lut, minlength=na * nr)
-        ids = (flat_lut[None, :] + (np.arange(m) * na * nr)[:, None]).ravel()
-        sums2 = np.bincount(ids, weights=P2n.reshape(m, -1).ravel(),
-                            minlength=m * na * nr).reshape(m, na * nr)
-        nz2 = quant2 > 0
-        prof = np.zeros((m, na * nr))
-        prof[:, nz2] = sums2[:, nz2] / quant2[nz2]
-        prof = prof.reshape(m, na, nr)
+        if hh == 1:
+            # r7 single-row fast path. Two exact identities:
+            # (1) rfft2 of the (m, 1, w) plane == the 1-D rfft of the
+            #     SAME centered signal already computed for the stats
+            #     (bit-identical, pinned by tests) — so no second FFT;
+            # (2) the 1-row spectrum's polar LUT maps every bin to ONE
+            #     angle, so the (m, na*nr) dense profile is a single
+            #     (m, nr) radius profile + zeros. Building only the
+            #     compact profile cuts ~23 KB/row of pure-zero memory
+            #     traffic, the bandwidth bottleneck at 32 cores.
+            P2n = _lognorm_rows(P[:, : w // 2 + 1])
+            fw = P2n.shape[1]
+            flat_lut = K._polar_bin_ids(1, fw, na, nr)
+            angles = np.unique(flat_lut // nr)
+            if angles.size == 1:
+                prof_angle = int(angles[0])
+                r_bin = flat_lut % nr
+                quant_r = np.bincount(r_bin, minlength=nr)
+                ids = (r_bin[None, :]
+                       + (np.arange(m) * nr)[:, None]).ravel()
+                sums_r = np.bincount(ids, weights=P2n.ravel(),
+                                     minlength=m * nr).reshape(m, nr)
+                nzr = quant_r > 0
+                prof_r = np.zeros((m, nr))
+                prof_r[:, nzr] = sums_r[:, nzr] / quant_r[nzr]
+            else:                     # defensive: fall through to dense
+                prof = _dense_profile(P2n.reshape(m, 1, fw), flat_lut,
+                                      m, na, nr)
+        else:
+            planes = x[:, : hh * w].reshape(m, hh, w) \
+                - rms_mean[:, None, None]
+            P2 = np.abs(np.fft.rfft2(planes, axes=(1, 2))) ** 2
+            P2n = _lognorm_rows(P2)
+            fh, fw = P2n.shape[1], P2n.shape[2]
+            flat_lut = K._polar_bin_ids(fh, fw, na, nr)
+            prof = _dense_profile(P2n, flat_lut, m, na, nr)
     else:
-        prof = np.zeros((m, na, nr))
+        prof_r = np.zeros((m, nr))    # n == 1: all-zero profile
     _t = _mark("blur_fft_s", _t)
     out = {
         "rms_mean": rms_mean, "rms_std": rms_std, "mean_norm_value": mean_norm,
@@ -403,18 +489,27 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
         "spectrum_bands": bands,
         "autocorr": ac, "bandpass_energy": bp, "sharpness_avg": sh_avg,
     }
+    def peaks_flat():
+        if prof is not None:
+            return _peaks_core(prof, cfg)
+        return _peaks_core_1d(prof_r, prof_angle, cfg)
+
     if flat:
         # r7 Arrow path: keep palette/peaks as flat numpy structures —
         # the per-row list assembly below is exactly the cost the Arrow
         # output path removes
         out["palette_flat"] = _palette_core(h, s, v, g, counts, cfg)
         _t = _mark("palette_s", _t)
-        out["peaks_flat"] = _peaks_core(prof, cfg)
+        out["peaks_flat"] = peaks_flat()
         _t = _mark("peaks_s", _t)
         return out
     out["palette"] = _palette_batch(h, s, v, g, counts, cfg)
     _t = _mark("palette_s", _t)
-    out["spectral_peaks"] = _peaks_batch(prof, cfg)
+    rows_idx, ang_flat, mag_flat = peaks_flat()
+    pk: list[list] = [[] for _ in range(m)]
+    for i in range(rows_idx.size):
+        pk[rows_idx[i]].append((int(ang_flat[i]), float(mag_flat[i])))
+    out["spectral_peaks"] = pk
     _t = _mark("peaks_s", _t)
     return out
 
