@@ -935,36 +935,54 @@ def rp_project_expr(emb: DataFrame, out_dim: int,
     return emb.select(*cols)
 
 
+def pca_partials_df(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One (count, sum, Gram) partial row PER PARTITION (r7: accumulated
+    across the Arrow batch iterator inside the task — the old per-batch
+    yield made the driver collect scale with data size)."""
+    import pandas as pd
+
+    def partials(batches):
+        n = 0
+        s = g = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += len(V)
+            if s is None:
+                s = V.sum(axis=0)
+                g = V.T @ V
+            else:
+                s += V.sum(axis=0)
+                g += V.T @ V
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "g": [g.ravel()]})
+
+    return emb.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>")
+
+
 def pca_train(emb: DataFrame, n_components: int,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> dict:
-    """Exact corpus PCA statistics in ONE shuffle-free pass: each Arrow
-    batch emits a single partial row (count, sum vector, flattened Gram
-    matrix X^T X) — ``num_partitions``-ish rows total, reduced on the
-    driver (the bounded-collect pattern train_pq uses; a d=64 Gram is
-    4096 doubles, so even 10^5 partials is ~3 GB streamed, and the
-    reduce is associative so a two-level treeReduce via coalesce is the
-    escape hatch far before that). Covariance = Gram/n - mu mu^T; numpy
-    eigh on the driver (d x d, trivial) gives components.
+    """Exact corpus PCA statistics in ONE shuffle-free pass: each
+    PARTITION emits a single partial row (count, sum vector, flattened
+    Gram matrix X^T X) — the count/sum/Gram accumulate across the Arrow
+    batch iterator inside the task (r7 fix: the previous per-BATCH
+    partials made the driver collect scale with total Arrow batches,
+    i.e. with data size, not with partition count — the one weak scale
+    plan flagged by the r6 review). Partials are reduced on the driver:
+    a d=64 Gram is 4096 doubles, so even 10^5 partition partials is
+    ~3 GB streamed, and the reduce is associative so a two-level
+    treeReduce via coalesce is the escape hatch far before that.
+    Covariance = Gram/n - mu mu^T; numpy eigh on the driver (d x d,
+    trivial) gives components.
 
     Returns {"mean": (d,), "components": (n_components, d),
     "explained_var": (n_components,)} with deterministic sign
     convention (largest-|.| coefficient of each component positive).
     Project with ``pca_project``."""
-    import pandas as pd
-
-    def partials(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            yield pd.DataFrame({
-                "n": [len(V)],
-                "s": [V.sum(axis=0)],
-                "g": [(V.T @ V).ravel()]})
-
-    rows = emb.select(vec_col).mapInPandas(
-        partials, "n long, s array<double>, g array<double>").collect()
+    rows = pca_partials_df(emb, vec_col).collect()
     if not rows:
         raise ValueError("pca_train: empty input")
     n = sum(r["n"] for r in rows)

@@ -211,3 +211,33 @@ def test_bm25_batch_equals_single(spark, sf_dir):
                 for i, r in enumerate(
                     text.bm25_topk(docs, terms, k=7).collect())]
         assert sorted(got.get(qid, [])) == want, qid
+
+
+def test_pca_partials_one_row_per_partition(spark):
+    """r7 scale fix: the driver-side collect is bounded by PARTITION
+    count, not Arrow-batch count — a tiny maxRecordsPerBatch forces many
+    batches per partition, yet at most one partial row per partition
+    reaches the driver, and the trained model stays exact vs numpy."""
+    import numpy as np
+    from photohive_spark import similarity as S
+
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(4000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(4)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        n_parts = emb.rdd.getNumPartitions()
+        partials = S.pca_partials_df(emb).collect()
+        assert 1 <= len(partials) <= n_parts        # NOT ~40 batches
+        assert sum(r["n"] for r in partials) == 4000
+        model = S.pca_train(emb, n_components=4)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    mu = V.mean(axis=0)
+    cov = (V - mu).T @ (V - mu) / len(V)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(model["explained_var"], evals, rtol=1e-8, atol=1e-10)
+    assert np.allclose(model["mean"], mu, rtol=1e-9, atol=1e-12)
