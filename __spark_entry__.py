@@ -2387,7 +2387,13 @@ select variant, n_rows, n_matched, n_leaks, max_lead_us from aud
 
     # CountMin: recompute the identical universal-hash family
     # h_d(t) = ((a_d*t + b_d) mod (2^31-1)) mod width over the token
-    # stream; every counter in the depth x width table is value-hashed
+    # stream; every counter in the depth x width table is value-hashed.
+    # PRECONDITION (r7 review note): this SQL omits sketch.cms_bucket's
+    # t-mod-P pre-reduction, so it matches ONLY for ids in [0, 2^31-1)
+    # — true for every token id here (t < VOCAB_SIZE). Reusing it for
+    # hashed/negative 64-bit ids would overflow-diverge (and DuckDB's
+    # sign-following % would yield negative buckets); mirror
+    # ((a * ((t % P + P) % P) + b) % P) % width in that case.
     _cms_keyed = "\nunion all\n".join(
         f"select cast({d} as int) as d, "
         f"cast((({a} * t + {b}) % {sketch.CMS_P}) % {sketch.CMS_WIDTH} "

@@ -51,11 +51,15 @@ def main() -> None:
                          "whole corpus")
     ap.add_argument("--on-error", choices=["fail", "skip"],
                     default="skip")
-    ap.add_argument("--max-bucket-size", type=int, default=10000,
+    ap.add_argument("--max-bucket-size", type=int, default=0,
                     help="hamming-band buckets wider than this switch "
                          "to star pairing (identical pHashes dominate "
                          "scraped corpora and make the exact band "
-                         "self-join quadratic); 0 disables the cap")
+                         "self-join quadratic); 0 (default) = exact "
+                         "banding — opt into the cap on dup-heavy "
+                         "corpora, noting the star-pairing recall "
+                         "caveat (r7 review: a nonzero default "
+                         "silently changed pair topology vs prior runs)")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F

@@ -229,8 +229,11 @@ def pack_examples(df: DataFrame, budget: int,
     Exchange), then ONE groupBy(group, pack) whose aggregate is
     collect_list(struct(offset, ...)) -> array_sort -> flatten, so
     within-pack order is the deterministic layout order, not arrival
-    order. Pack payloads are bounded by ``budget`` + one straddler, so
-    collect_list state per key stays executor-tiny."""
+    order. Pack payloads are bounded by ``budget`` + the longest
+    STRADDLING doc (a doc longer than ``budget`` belongs wholly to its
+    start pack, so the true bound is budget + max doc length, not
+    budget alone — pre-chunk over-budget docs upstream when hard caps
+    matter); with sane corpora that state stays executor-tiny."""
     lens = df.select(F.col(id_col),
                      F.size(tokens_col).alias("_n_tok"))
     packed = pack_sequences(lens, budget, len_col="_n_tok",

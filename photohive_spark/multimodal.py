@@ -482,6 +482,14 @@ def media_report_row(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG,
     from . import kernels as K
     from . import png
 
+    if payload[:4] == b"RIFF" and payload[8:12] != b"AVI ":
+        # r7 review fix: WEBP / WAVE are RIFF containers too — surfacing
+        # a clear error beats a misleading AVI-parse failure (or a
+        # silent drop under on_error='skip' miscounted as undecodable)
+        form = bytes(payload[8:12]).decode("ascii", "replace")
+        raise ValueError(
+            f"unsupported RIFF container {form!r} (only 'AVI ' motion "
+            f"payloads are decodable; WEBP/WAVE need codecs absent here)")
     if payload[:4] == b"GIF8" or payload[:4] == b"RIFF":
         frames, n_total = _motion_frames(bytes(payload), n_sample)
         kind = "video" if n_total > 1 else "image"
