@@ -663,7 +663,14 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
                      F.shiftright(hash_col, b * width)
                       .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("k"))
-        .select(id_col, hash_col, "k.band", "k.bval"))
+        .select(id_col, hash_col, "k.band", "k.bval")
+        .repartition("band", "bval"))
+    # ^ r7: one explicit exchange on the join key so the self-join below
+    # reuses a single shuffle for both aliases (ReusedExchange) instead
+    # of recomputing the hash subtree per alias and planning statless —
+    # the simhash source is now a mapInArrow stage with no exchange of
+    # its own (same fix as minhash_lsh_pairs; measured 131s -> seconds
+    # on the doubled sf1.0 corpus).
 
     def _self_join(df: DataFrame) -> DataFrame:
         return (df.alias("x").join(df.alias("y"), on=["band", "bval"])
