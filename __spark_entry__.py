@@ -726,8 +726,18 @@ def q_feature_asof(spark, sf_dir):
     toks = tokens_table(spark, sf_dir)
     snaps = feature_snapshots(toks, n_snapshots=1, cfg=CFG) \
         .select("doc_id", "snapshot_ts", "rms_mean", "hist_entropy")
-    probes = toks.select(
-        "doc_id", (F.col("event_ts") + F.expr("interval 1 hour")).alias("probe_ts"))
+    # r7: the probe side needs only (doc_id, event_ts) — neither depends
+    # on tokens, so derive them straight from the documents scan. The
+    # old all-Catalyst tokens_table let the optimizer prune the token
+    # expression away here automatically; the mapInArrow tokenizer is
+    # opaque to pruning (guide §4.1), so the projection is done by hand.
+    # Expressions are copied verbatim from tokens_table => identical
+    # doc_id/event_ts values, and therefore an identical query result.
+    probes = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        ((F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+          + F.make_interval(secs=F.col("doc_id") * 37))
+         + F.expr("interval 1 hour")).alias("probe_ts"))
     out = pit.asof_join(probes, snaps, "doc_id", "probe_ts", "snapshot_ts",
                         ["rms_mean", "hist_entropy"])
     anchor = F.to_timestamp(F.lit("2026-01-01 00:00:00")) \
@@ -764,10 +774,14 @@ def q_flatten_features(spark, sf_dir):
     deterministic doc_id filter (not limit) so both engines see the same
     rows."""
     from photohive_spark.engine import flatten_features
+    from photohive_spark.tokenize import tokens_from_documents
+    # r7: filter BEFORE the (pruning-opaque) mapInArrow tokenizer — same
+    # rows (doc_id int64 < 100 == its string form cast back to int)
     flat = flatten_features(
         extract_features_df(
-            tokens_table(spark, sf_dir)
-            .filter(F.col("doc_id").cast("int") < 100), CFG))
+            tokens_from_documents(
+                _read(spark, sf_dir, "documents")
+                .filter(F.col("doc_id").cast("int") < 100)), CFG))
     anchor = F.to_timestamp(F.lit("2026-01-01 00:00:00")) \
               .cast("timestamp_ltz").cast("long")
     return flat.select(
