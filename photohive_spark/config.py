@@ -63,10 +63,13 @@ class EngineConfig:
     # Arrow batch sizing: the length-grouped batch kernels scale with GROUP
     # size, and groups live inside one Arrow batch — 256-row batches gave
     # ~4-row groups on an LLM-length corpus and left 2.5x throughput on the
-    # table (measured r3: 49k -> 124k rows/s at 8192). Long-doc safety is
-    # the BYTES cap, not the row cap: Spark 4's maxBytesPerBatch slices a
-    # batch early when wide token arrays approach arrow_batch_bytes.
-    arrow_batch_rows: int = 8192
+    # table (measured r3: 49k -> 124k rows/s at 8192; r7's Arrow-native
+    # kernel re-measured single-core 35k -> 42k rows/s going 8192 -> 16384,
+    # so the cap was raised — effective batches are min(cap, partition
+    # rows) anyway). Long-doc safety is the BYTES cap, not the row cap:
+    # Spark 4's maxBytesPerBatch slices a batch early when wide token
+    # arrays approach arrow_batch_bytes.
+    arrow_batch_rows: int = 16384
     arrow_batch_bytes: str = "64m"
 
     @property

@@ -112,11 +112,13 @@ def test_unigram_logprob_broadcasts_freq(spark, sf_dir):
 
 
 def test_session_arrow_batch_config(spark):
-    """The r3 Arrow batch sizing (the single biggest measured throughput
-    lever: 256 -> 8192 rows was 2.5x) with the bytes cap guarding
-    long-doc corpora — pin both so a config regression is loud."""
+    """The Arrow batch sizing (the single biggest measured throughput
+    lever: 256 -> 8192 rows was 2.5x in r3; 8192 -> 16384 re-measured
+    +18% single-core for the r7 Arrow-native kernel) with the bytes cap
+    guarding long-doc corpora — pin both so a config regression is
+    loud."""
     assert spark.conf.get(
-        "spark.sql.execution.arrow.maxRecordsPerBatch") == "8192"
+        "spark.sql.execution.arrow.maxRecordsPerBatch") == "16384"
     assert spark.conf.get(
         "spark.sql.execution.arrow.maxBytesPerBatch") in ("64m", "67108864b")
 
