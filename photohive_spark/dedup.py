@@ -360,35 +360,75 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return verify_jaccard(cand, docs, text_col, id_col, k, threshold)
 
 
+def word_shingle_arrays(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id_col, shingles array<string>, n_sh) — each doc's DISTINCT
+    word-k-gram shingle SET as one array row, emitted straight from the
+    vectorized builder (fast_hash.shingles_arrow): no explode, no
+    groupBy/collect_list, zero shuffles. Same sets as
+    word_shingles(distinct=True) grouped per doc."""
+    import pyarrow as pa
+
+    src = docs.select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def f(batches):
+        import numpy as np
+
+        from photohive_spark.fast_hash import shingles_arrow
+        for b in batches:
+            names = b.schema.names
+            texts = b.column(names.index(text_col))
+            doc_idx, grams = shingles_arrow(texts, k)
+            n = len(texts)
+            cnt = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            offs = pa.array(np.concatenate([[0], np.cumsum(cnt)])
+                            .astype(np.int32), type=pa.int32())
+            arr = pa.ListArray.from_arrays(offs, grams)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(names.index(id_col)), arr,
+                 pa.array(cnt, type=pa.int64())],
+                [id_col, "shingles", "n_sh"])
+
+    return src.mapInArrow(
+        f, f"{id_col} {id_type}, shingles array<string>, n_sh bigint")
+
+
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str,
                    id_col: str, k: int, threshold: float) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
     Scale: only docs that appear in a candidate pair are shingled — the
-    semi-join below prunes the corpus BEFORE the explode, so the expensive
-    shingle fan-out is proportional to candidates, not corpus size."""
+    semi-join below prunes the corpus first, so the shingle work is
+    proportional to candidates, not corpus size.
+
+    r7 shape: each candidate doc's distinct shingle SET rides as ONE
+    array row (word_shingle_arrays), the pair join attaches both sides'
+    arrays, and the intersection count is the JVM ``array_intersect``
+    intrinsic — exact string-set semantics, identical counts to the old
+    exploded (pairs x shingles) join+groupBy, which shuffled one row
+    PER (pair, shingle-of-a) (~50x more rows than pairs) plus a second
+    string-keyed exchange. Now only the bounded per-doc arrays move.
+    """
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
     docs = docs.join(cand_ids, on=id_col, how="left_semi")
-    sh = word_shingles(docs, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (pairs
-             .join(sha, on="id_a")
-             .join(shb, on=["id_b", "shingle"])
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed(id_col, "id_a")
-                      .withColumnRenamed("n_sh", "n_a"), on="id_a")
-           .join(sizes.withColumnRenamed(id_col, "id_b")
-                      .withColumnRenamed("n_sh", "n_b"), on="id_b")
-           .withColumn("jaccard",
-                       F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return out
+    sh = word_shingle_arrays(docs, text_col, id_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("shingles").alias("_sa"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("shingles").alias("_sb"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+    return (pairs
+            .join(a, on="id_a")
+            .join(b, on="id_b")
+            .withColumn("inter", inter)
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

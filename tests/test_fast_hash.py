@@ -90,3 +90,20 @@ def test_word_shingles_arrow_matches_window_form(spark, sf_dir):
             slow = dedup.word_shingles(frame, k=k, distinct=False).distinct()
             assert fast.exceptAll(slow).count() == 0, k
             assert slow.exceptAll(fast).count() == 0, k
+
+
+def test_word_shingle_arrays_matches_row_form(spark, sf_dir):
+    """Per-doc shingle ARRAYS == the row-form shingle sets, doc by doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source") \
+        .limit(200)
+    for frame in (docs, _edge_df(spark)):
+        arr = {r.doc_id: (sorted(r.shingles), r.n_sh)
+               for r in dedup.word_shingle_arrays(frame, k=3).collect()}
+        rows = {}
+        for r in dedup.word_shingles(frame, k=3).collect():
+            rows.setdefault(r.doc_id, []).append(r.shingle)
+        assert set(arr) == set(rows)
+        for d in rows:
+            assert arr[d][0] == sorted(rows[d]), d
+            assert arr[d][1] == len(rows[d]), d
