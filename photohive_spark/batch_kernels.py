@@ -145,6 +145,102 @@ def _saliency_weights(cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
             + cfg.saturation_value_weight * ns * nv) * 1000.0
 
 
+def _palette_assign(counts: np.ndarray, cfg: EngineConfig):
+    """Parent selection + nearest-parent rank assignment from per-row
+    cell counts alone (row-local, so it batches over ANY row set).
+
+    Returns (n_par (m,), order (m, cells), rank_lookup (m, cells)) with
+    rank_lookup valid at OCCUPIED cells only (the only cells tokens can
+    reference). Parent selection orders by (saliency desc, cell asc) via
+    stable argsort; the argmin over masked distance rows is computed
+    only for occupied (row, cell) pairs — the dense (m, cells, pmax)
+    tensor would be ~3x pure waste — and np.argmin's FIRST-minimum is
+    exactly the per-doc tie rule (first occurrence in saliency order).
+    Rows with zero counts get n_par = 0 (no tokens, no palette)."""
+    m, cells = counts.shape
+    D = K._distance_matrix(cfg)                          # (cells, cells)
+    sal = counts * _saliency_weights(cfg)[None, :]
+    order = np.argsort(-sal, axis=1, kind="stable")       # sal desc, cell asc
+    totals = counts.sum(axis=1)
+    goals = np.maximum(1, (totals * cfg.coverage_thresh).astype(np.int64))
+    c_sorted = np.take_along_axis(counts, order, axis=1)
+    cum_prev = np.cumsum(c_sorted, axis=1) - c_sorted
+    keep = cum_prev < goals[:, None]                      # (m, cells) in order-space
+    n_par = np.where(totals > 0, keep.sum(axis=1), 0)
+
+    pmax0 = int(n_par.max()) if m else 0
+    occ_r, occ_c = np.nonzero(counts)                     # row-major
+    nearest_occ = np.empty(occ_r.size, dtype=np.int64)
+    ranks = np.arange(pmax0)
+    slab = max(1, int(4_000_000 // max(1, pmax0)))
+    for lo in range(0, occ_r.size, slab):
+        hi_ = min(occ_r.size, lo + slab)
+        rs, cs = occ_r[lo:hi_], occ_c[lo:hi_]
+        Dvals = D[cs[:, None], order[rs, :pmax0]]         # (slab, pmax)
+        Dvals[ranks[None, :] >= n_par[rs, None]] = np.inf
+        nearest_occ[lo:hi_] = np.argmin(Dvals, axis=1)
+    rank_lookup = np.zeros((m, cells), dtype=np.int64)
+    rank_lookup[occ_r, occ_c] = nearest_occ
+    return n_par, order, rank_lookup
+
+
+def _hist_entropy_global(g: np.ndarray, row_of: np.ndarray, n_rows: int,
+                         cfg: EngineConfig):
+    """Per-row 112-cell histogram + entropy over a FLAT (ragged) token
+    stream — integer-exact counts; the entropy expression and its
+    per-row reduction tree are identical to the per-group form."""
+    cells = cfg.hist_cells
+    counts = np.bincount(row_of * cells + g, minlength=n_rows * cells)         .reshape(n_rows, cells).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = counts / counts.sum(axis=1, keepdims=True)
+        ent = -np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)),
+                        0.0).sum(axis=1)
+    return counts, ent
+
+
+def _palette_global(h: np.ndarray, s: np.ndarray, v: np.ndarray,
+                    g: np.ndarray, row_of: np.ndarray, nd_row: np.ndarray,
+                    counts: np.ndarray, cfg: EngineConfig):
+    """_palette_core over a FLAT (ragged) token stream for ALL rows of a
+    batch at once. Value-identical to the per-group rectangular form:
+    every op is row-local (assignment) or a per-(row, rank) bincount
+    whose within-bucket accumulation order equals the rectangular
+    row-major order; pct multiplies by the same per-row 1.0/nd double."""
+    N = counts.shape[0]
+    nh, _, _ = K.cell_nominals(cfg)
+    n_par, order, rank_lookup = _palette_assign(counts, cfg)
+    pmax = int(n_par.max()) if N else 0
+    if pmax == 0:
+        z = np.zeros((N, 0))
+        return n_par, z, z, z, z
+    rank_flat = rank_lookup[row_of, g]
+    flat_ids = row_of * pmax + rank_flat
+    minlen = N * pmax
+    cnts = np.bincount(flat_ids, minlength=minlen).reshape(N, pmax)
+    offsets = 180.0 - nh[order[:, :pmax]]                 # (N, pmax)
+    tmp = h + offsets[row_of, rank_flat]
+    tmp = np.where(tmp > 360.0, tmp - 360.0, tmp)
+    tmp = np.where(tmp < 0.0, tmp + 360.0, tmp)
+    sum_h = np.bincount(flat_ids, weights=tmp,
+                        minlength=minlen).reshape(N, pmax)
+    sum_s = np.bincount(flat_ids, weights=s,
+                        minlength=minlen).reshape(N, pmax)
+    sum_v = np.bincount(flat_ids, weights=v,
+                        minlength=minlen).reshape(N, pmax)
+    with np.errstate(divide="ignore"):
+        inv_n = np.where(nd_row > 0, 1.0 / np.maximum(nd_row, 1), 0.0)
+    valid = cnts > 0
+    safe = np.maximum(cnts, 1)
+    h_avg = sum_h / safe - offsets
+    h_avg = np.where(h_avg < 0, h_avg + 360.0, h_avg)
+    h_avg = np.where(h_avg > 360.0, h_avg - 360.0, h_avg)
+    h_avg = np.where(valid, h_avg, 0.0)
+    s_avg = np.where(valid, sum_s / safe, 0.0)
+    v_avg = np.where(valid, sum_v / safe, 0.0)
+    pct = np.where(valid, cnts * inv_n[:, None], 0.0)
+    return n_par, h_avg, s_avg, v_avg, pct
+
+
 def _palette_core(h: np.ndarray, s: np.ndarray, v: np.ndarray,
                   g: np.ndarray, counts: np.ndarray,
                   cfg: EngineConfig):
@@ -159,41 +255,8 @@ def _palette_core(h: np.ndarray, s: np.ndarray, v: np.ndarray,
     (= first occurrence in the per-doc argmin over parents order).
     Parity-tested row-for-row in tests/test_batch_kernels.py."""
     m, n = g.shape
-    cells = cfg.hist_cells
     nh, _, _ = K.cell_nominals(cfg)
-    D = K._distance_matrix(cfg)                          # (cells, cells)
-
-    # --- find_valid_parents, batched ---
-    sal = counts * _saliency_weights(cfg)[None, :]
-    order = np.argsort(-sal, axis=1, kind="stable")       # sal desc, cell asc
-    totals = counts.sum(axis=1)
-    goals = np.maximum(1, (totals * cfg.coverage_thresh).astype(np.int64))
-    c_sorted = np.take_along_axis(counts, order, axis=1)
-    cum_prev = np.cumsum(c_sorted, axis=1) - c_sorted
-    keep = cum_prev < goals[:, None]                      # (m, cells) in order-space
-
-    n_par = keep.sum(axis=1)                              # parents per row
-
-    # --- assign_parents, batched (r7): argmin over masked distance rows,
-    # computed ONLY for OCCUPIED (row, cell) pairs — rank_of_tok below
-    # reads nearest-parent ranks solely at cells the row's tokens hit
-    # (<= min(n, cells) of the 112), so the dense (m, cells, pmax)
-    # tensor would be ~3x pure waste. np.argmin picks the FIRST minimum,
-    # which is exactly the per-doc tie rule (first occurrence in
-    # saliency order). Pair slabs bound peak memory. ---
-    pmax0 = int(n_par.max()) if m else 0
-    occ_r, occ_c = np.nonzero(counts)                     # row-major
-    nearest_occ = np.empty(occ_r.size, dtype=np.int64)
-    ranks = np.arange(pmax0)
-    slab = max(1, int(4_000_000 // max(1, pmax0)))
-    for lo in range(0, occ_r.size, slab):
-        hi_ = min(occ_r.size, lo + slab)
-        rs, cs = occ_r[lo:hi_], occ_c[lo:hi_]
-        Dvals = D[cs[:, None], order[rs, :pmax0]]         # (slab, pmax)
-        Dvals[ranks[None, :] >= n_par[rs, None]] = np.inf
-        nearest_occ[lo:hi_] = np.argmin(Dvals, axis=1)
-    rank_lookup = np.zeros((m, cells), dtype=np.int64)
-    rank_lookup[occ_r, occ_c] = nearest_occ
+    n_par, order, rank_lookup = _palette_assign(counts, cfg)
     rank_of_tok = np.take_along_axis(rank_lookup, g, axis=1)        # (m, n)
 
     # --- grouped circular-mean averages via offset bincounts ---
@@ -366,7 +429,8 @@ def _deg_table(na: int) -> np.ndarray:
 
 def _group_features(T: np.ndarray, cfg: EngineConfig,
                     timings: dict[str, float] | None = None,
-                    flat: bool = False) -> dict:
+                    flat: bool = False,
+                    spectral_only: bool = False) -> dict:
     """All features for one equal-length group. T: (m, n) int32, n >= 1.
 
     ``timings`` (optional) accumulates wall seconds per kernel FAMILY —
@@ -396,20 +460,32 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
     # stride slicing keeps the group rectangular so batching is preserved
     Td = Tl[:, ::cfg.downsample_rate] if cfg.downsample_rate > 1 else Tl
     nd = Td.shape[1]
-    h = 360.0 * (Td % K.HUE_MOD) / float(K.HUE_MOD)
-    s = (Td % K.SAT_MOD) / float(K.SAT_MOD)
-    v = x if cfg.downsample_rate <= 1 else Td / float(VOCAB_SIZE)
-    mean_norm = s.mean(axis=1)
+    if spectral_only:
+        # r7 Arrow path: the hsv/hist/palette family runs ONCE per batch
+        # on the flat token stream (_hsv_hist_global) — only mean_norm
+        # stays here because its np.mean pairwise-summation tree needs
+        # the rectangular group (a ragged reduceat would change the FP
+        # tree of an oracle-rounded output)
+        s = (Td % K.SAT_MOD) / float(K.SAT_MOD)
+        mean_norm = s.mean(axis=1)
+        h = s = v = g = counts = ent = None
+        _t = _mark("hist_s", _t)
+    else:
+        h = 360.0 * (Td % K.HUE_MOD) / float(K.HUE_MOD)
+        s = (Td % K.SAT_MOD) / float(K.SAT_MOD)
+        v = x if cfg.downsample_rate <= 1 else Td / float(VOCAB_SIZE)
+        mean_norm = s.mean(axis=1)
 
-    cells = cfg.hist_cells
-    g = K.hist_bin_ids(h.ravel(), s.ravel(), v.ravel(), cfg).reshape(m, nd)
-    offs = (np.arange(m) * cells)[:, None]
-    counts = np.bincount((g + offs).ravel(),
-                         minlength=m * cells).reshape(m, cells).astype(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = counts / counts.sum(axis=1, keepdims=True)
-        ent = -np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0).sum(axis=1)
-    _t = _mark("hist_s", _t)
+        cells = cfg.hist_cells
+        g = K.hist_bin_ids(h.ravel(), s.ravel(), v.ravel(), cfg).reshape(m, nd)
+        offs = (np.arange(m) * cells)[:, None]
+        counts = np.bincount((g + offs).ravel(),
+                             minlength=m * cells).reshape(m, cells).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / counts.sum(axis=1, keepdims=True)
+            ent = -np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)),
+                            0.0).sum(axis=1)
+        _t = _mark("hist_s", _t)
 
     # spectral family: bands from the shared stats; autocorr reuses the
     # power spectrum (Wiener–Khinchin) instead of a second rfft
@@ -498,7 +574,8 @@ def _group_features(T: np.ndarray, cfg: EngineConfig,
         # r7 Arrow path: keep palette/peaks as flat numpy structures —
         # the per-row list assembly below is exactly the cost the Arrow
         # output path removes
-        out["palette_flat"] = _palette_core(h, s, v, g, counts, cfg)
+        if not spectral_only:
+            out["palette_flat"] = _palette_core(h, s, v, g, counts, cfg)
         _t = _mark("palette_s", _t)
         out["peaks_flat"] = peaks_flat()
         _t = _mark("peaks_s", _t)
@@ -712,13 +789,48 @@ def batch_extract_arrow(tokens_arr, cfg: EngineConfig = DEFAULT_CONFIG,
     scal = {c: np.zeros(N) for c in _SCALAR_COLS}
     nb, nl = cfg.radius_parts, cfg.autocorr_lags
     nf = K.gabor_bank(cfg).shape[0]
-    hist_mat = np.zeros((N, cfg.hist_cells), dtype=np.int64)
     bands_mat = np.zeros((N, nb))
     ac_mat = np.zeros((N, nl))
     bp_mat = np.zeros((N, nf))
-    pal_rows, pal_lens = [], []
-    pal_flats = [[], [], [], []]                # h, s, v, pct
     pk_rows, pk_ang, pk_mag = [], [], []
+
+    # --- hsv / histogram / palette family: ONE pass over the flat
+    # (downsampled) token stream for the whole batch (r7) — every op is
+    # row-local or a per-(row, key) bincount, so the values are
+    # identical to the per-length-group form (parity-pinned) while the
+    # ~90 per-group argsorts/bincounts collapse into one each ---
+    from time import perf_counter as _pc
+    _t0 = _pc()
+    rate = cfg.downsample_rate
+    row_of = np.repeat(np.arange(N, dtype=np.int64), lens)
+    if rate > 1:
+        within = np.arange(vals.size, dtype=np.int64)             - np.repeat(starts, lens)
+        dmask = (within % rate) == 0
+        fvals = vals[dmask]
+        row_of = row_of[dmask]
+        nd_row = np.bincount(row_of, minlength=N).astype(np.int64)
+    else:
+        fvals = vals
+        nd_row = lens
+    Tl = fvals.astype(np.int64)
+    h_f = 360.0 * (Tl % K.HUE_MOD) / float(K.HUE_MOD)
+    s_f = (Tl % K.SAT_MOD) / float(K.SAT_MOD)
+    v_f = Tl / float(VOCAB_SIZE)
+    g_f = (K.hist_bin_ids(h_f, s_f, v_f, cfg) if Tl.size
+           else np.zeros(0, dtype=np.int64))
+    hist_mat, ent_g = _hist_entropy_global(g_f, row_of, N, cfg)
+    scal["hist_entropy"][:] = ent_g
+    if timings is not None:
+        timings["hist_s"] = timings.get("hist_s", 0.0) + (_pc() - _t0)
+    _t0 = _pc()
+    n_par, h_avg, s_avg, v_avg, pct = _palette_global(
+        h_f, s_f, v_f, g_f, row_of, nd_row, hist_mat, cfg)
+    n_cap = np.minimum(n_par, 100)              # features_row's [:100] cap
+    vmask = np.arange(h_avg.shape[1])[None, :] < n_cap[:, None]
+    pal_lens_g = n_cap
+    pal_flat_g = [mat[vmask] for mat in (h_avg, s_avg, v_avg, pct)]
+    if timings is not None:
+        timings["palette_s"] = timings.get("palette_s", 0.0) + (_pc() - _t0)
 
     for n in np.unique(lens):
         idx = np.flatnonzero(lens == n)
@@ -733,21 +845,12 @@ def batch_extract_arrow(tokens_arr, cfg: EngineConfig = DEFAULT_CONFIG,
             bp_mat[idx] = np.asarray(empty["bandpass_energy"])
             continue
         T = vals[starts[idx][:, None] + np.arange(n)].astype(np.int32)
-        gf = _group_features(T, cfg, timings, flat=True)
-        for c in _SCALAR_COLS:
+        gf = _group_features(T, cfg, timings, flat=True, spectral_only=True)
+        for c in ("rms_mean", "rms_std", "mean_norm_value", "sharpness_avg"):
             scal[c][idx] = gf[c]
-        hist_mat[idx] = gf["hist_counts"]
         bands_mat[idx] = gf["spectrum_bands"]
         ac_mat[idx] = gf["autocorr"]
         bp_mat[idx] = gf["bandpass_energy"]
-        n_par, h_avg, s_avg, v_avg, pct = gf["palette_flat"]
-        n_cap = np.minimum(n_par, 100)          # features_row's [:100] cap
-        pmax = h_avg.shape[1]
-        vmask = np.arange(pmax)[None, :] < n_cap[:, None]
-        pal_rows.append(idx)
-        pal_lens.append(n_cap)
-        for j, mat in enumerate((h_avg, s_avg, v_avg, pct)):
-            pal_flats[j].append(mat[vmask])
         rows_idx, ang, mag = gf["peaks_flat"]
         pk_rows.append(idx[rows_idx])
         pk_ang.append(ang)
@@ -771,19 +874,13 @@ def batch_extract_arrow(tokens_arr, cfg: EngineConfig = DEFAULT_CONFIG,
         "sharpness_avg": pa.array(scal["sharpness_avg"]),
     }
 
-    # palette: segmented scatter of the group-major flats into row order
-    if pal_rows:
-        row_lens, (hh, ss, vv, pp) = _scatter_varlen(
-            N, np.concatenate(pal_rows), np.concatenate(pal_lens),
-            [np.concatenate(f) for f in pal_flats])
-    else:
-        row_lens = np.zeros(N, dtype=np.int64)
-        hh = ss = vv = pp = np.zeros(0)
+    # palette: the global pass emits flats already in row order
+    hh, ss, vv, pp = pal_flat_g
     pal_struct = pa.StructArray.from_arrays(
         [pa.array(hh), pa.array(ss), pa.array(vv), pa.array(pp)],
         names=["h", "s", "v", "pct"])
     out["palette"] = pa.ListArray.from_arrays(
-        pa.array(np.concatenate([[0], np.cumsum(row_lens)])
+        pa.array(np.concatenate([[0], np.cumsum(pal_lens_g)])
                  .astype(np.int32), type=pa.int32()), pal_struct)
 
     # spectral peaks (capped at 10 inside _peaks_core). Stable sort by
