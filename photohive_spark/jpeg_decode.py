@@ -138,17 +138,20 @@ def _build_flut(spec: bytes, kind: str) -> list:
     return lst
 
 
-def _windows(seg: bytes) -> list:
-    """Unstuffed entropy bytes (already 0xFF-padded) -> Python list W
-    where W[bp] = the 16 bits starting at bit position bp. One strided
-    numpy pass + tolist; the scan loop then does one list index per
-    Huffman peek and one per magnitude read."""
-    a = np.frombuffer(seg, dtype=np.uint8).astype(np.int64)
+def _windows(seg: bytes):
+    """Unstuffed entropy bytes (already 0xFF-padded) -> uint16 window
+    table W where W[bp] = the 16 bits starting at bit position bp. One
+    strided numpy pass; returned as a memoryview — indexing a 'H'
+    memoryview yields a plain int faster than an equivalent Python list
+    (no per-element PyObject build, no pointer-chasing on access), so
+    the scan loop does one cheap index per Huffman peek / magnitude
+    read and construction is O(1) views instead of an 8N tolist."""
+    a = np.frombuffer(seg, dtype=np.uint8).astype(np.uint32)
     A = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
-    W = np.empty((8, A.size), dtype=np.int64)
+    W = np.empty((A.size, 8), dtype=np.uint16)
     for o in range(8):
-        W[o] = (A >> (8 - o)) & 0xFFFF
-    return W.T.reshape(-1).tolist()
+        W[:, o] = ((A >> (8 - o)) & 0xFFFF).astype(np.uint16)
+    return memoryview(W.reshape(-1))
 
 
 def _split_entropy(data: bytes, pos: int):
@@ -584,20 +587,33 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
     sub = arr2[:, ss:se + 1]
     nzr, nzc = np.nonzero(sub)
     ks_all = (nzc + ss).tolist()
-    vals_all = sub[nzr, nzc].tolist()
-    split = np.searchsorted(nzr, np.arange(arr2.shape[0] + 1)).tolist()
+    vals_np = sub[nzr, nzc]
+    vals_all = vals_np.tolist()
+    # per-nonzero flat store address / still-clear mask / signed step:
+    # inside an EOB run every nonzero-history coefficient consumes one
+    # correction bit and its update depends only on that bit and the
+    # scan-start state, so whole runs apply as one vectorized gather
+    addr_np = nzr.astype(np.int64) * 64 + (nzc + ss)
+    clear_np = (vals_np & p1) == 0
+    inc_np = np.where(vals_np > 0, p1, m1).astype(vals_np.dtype)
+    split_np = np.searchsorted(nzr, np.arange(arr2.shape[0] + 1))
+    split = split_np.tolist()
+    addr_all = addr_np.tolist()
     eobrun = 0
     seg_i = -1
     W: list = []
+    B = None                    # per-segment bit array (B[i] = bit i)
     nbits = 0
     bp = 0
-    for m in range(n_mcu):
+    m = 0
+    while m < n_mcu:
         if m == 0 or (ri and m % ri == 0):
             if seg_i >= 0:
                 _check_seg_end(bp, nbits)
             seg_i += 1
             d, nbits = segs[seg_i]
             W = _windows(d)
+            B = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
             bp = 0
             eobrun = 0
         r_, c_ = divmod(m, nb_cols)
@@ -606,14 +622,34 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
         ptr = split[bi]
         ptr_end = split[bi + 1]
         if eobrun:
-            eobrun -= 1
-            for t in range(ptr, ptr_end):
-                if W[bp] >> 15:
-                    cv = vals_all[t]
-                    if not (cv & p1):
-                        flat[base + ks_all[t]] = cv + (p1 if cv > 0
-                                                       else m1)
-                bp += 1
+            # blocks [m, end) are fully covered by the run (capped at
+            # the restart boundary, where the original per-block loop
+            # would reset eobrun anyway); padding blocks between rows
+            # have empty nonzero ranges, so [t0, t1) is exactly the
+            # run's coefficient span in visit order
+            bound = (m // ri + 1) * ri if ri else n_mcu
+            end = min(m + eobrun, n_mcu, bound)
+            r2, c2 = divmod(end - 1, nb_cols)
+            t0 = ptr
+            t1 = split[r2 * cols_b + c2 + 1]
+            T = t1 - t0
+            if T >= 32:
+                bits = B[bp:bp + T].view(bool)
+                upd = bits & clear_np[t0:t1]
+                if upd.any():
+                    flat[addr_np[t0:t1][upd]] = \
+                        vals_np[t0:t1][upd] + inc_np[t0:t1][upd]
+                bp += T
+            else:
+                for t in range(t0, t1):
+                    if W[bp] >> 15:
+                        cv = vals_all[t]
+                        if not (cv & p1):
+                            flat[addr_all[t]] = cv + (p1 if cv > 0
+                                                      else m1)
+                    bp += 1
+            eobrun -= end - m
+            m = end
             continue
         k = ss
         while k <= se:
@@ -665,6 +701,7 @@ def _decode_scan_ac_refine(data, pos, frame, scan, huff, ri, store,
                     raise ValueError("AC refinement run past band end")
                 flat[base + k] = newval
             k += 1
+        m += 1
     _check_seg_end(bp, nbits)
     return marker, mpos
 
