@@ -73,12 +73,19 @@ def _lzw_decode(data: bytes, min_code: int, n_expect: int) -> np.ndarray:
     nbits = 0
     pos = 0
     width = min_code + 1
-    # dictionary: entries as (prefix_code, tail_byte); roots are implicit
-    prefix = [0] * 4096
-    tail = [0] * 4096
+    # dictionary: every compound entry's expansion is a SPAN of output
+    # already emitted — entry next_code = prev_str + first(cur_str),
+    # and prev_str / cur_str were emitted back-to-back, so the span
+    # out[prev_pos : prev_pos + prev_len + 1] is contiguous. Expansion
+    # is then one numpy slice copy instead of a per-byte prefix-chain
+    # walk + reversed list build (the LZW chain walk dominated GIF
+    # decode at ~1 us/pixel).
+    start = [0] * 4096
+    length = [0] * 4096
     next_code = eoi + 1
     prev = -1
-    buf = bytearray()               # reversed-entry scratch
+    prev_pos = 0
+    prev_len = 0
     n = len(data)
     while n_out < n_expect:
         while nbits < width:
@@ -97,41 +104,45 @@ def _lzw_decode(data: bytes, min_code: int, n_expect: int) -> np.ndarray:
             continue
         if code == eoi:
             break
+        cur_pos = n_out
         if prev < 0:                # first code after clear: a root
             if code >= clear:
                 raise ValueError("LZW stream starts with non-root code")
             out[n_out] = code
             n_out += 1
             prev = code
+            prev_pos = cur_pos
+            prev_len = 1
             continue
-        if code < next_code:        # known entry: expand
-            c = code
-        elif code == next_code:     # the KwKwK special case
-            c = prev
+        if code < clear:            # root: single pixel
+            cl = 1
+            out[n_out] = code
+            n_out += 1
+        elif eoi < code < next_code:        # known entry: span copy
+            s0 = start[code]
+            cl = length[code]
+            take = min(cl, n_expect - n_out)
+            out[n_out:n_out + take] = out[s0:s0 + take]
+            n_out += take
+        elif code == next_code:     # KwKwK: prev_str + first(prev_str)
+            cl = prev_len + 1
+            take = min(cl, n_expect - n_out)
+            t0 = min(prev_len, take)
+            out[n_out:n_out + t0] = out[prev_pos:prev_pos + t0]
+            if take > prev_len:
+                out[n_out + prev_len] = out[prev_pos]
+            n_out += take
         else:
             raise ValueError("LZW code beyond dictionary")
-        buf.clear()
-        while c >= eoi + 1:
-            buf.append(tail[c])
-            c = prefix[c]
-        if c >= clear:
-            raise ValueError("corrupt LZW dictionary chain")
-        first = c
-        m = len(buf)
-        take = min(m + 1 + (code == next_code), n_expect - n_out)
-        # entry = root + reversed buf (+ first again for KwKwK)
-        seq = [first] + list(reversed(buf))
-        if code == next_code:
-            seq.append(first)
-        out[n_out:n_out + take] = seq[:take]
-        n_out += take
         if next_code < 4096:
-            prefix[next_code] = prev
-            tail[next_code] = first
+            start[next_code] = prev_pos
+            length[next_code] = prev_len + 1
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
         prev = code
+        prev_pos = cur_pos
+        prev_len = cl
     if n_out < n_expect:
         raise ValueError(
             f"LZW stream ended after {n_out} of {n_expect} pixels")
