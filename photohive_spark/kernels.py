@@ -121,19 +121,23 @@ def rgb2hsv(r: np.ndarray, g: np.ndarray, b: np.ndarray):
     mx = np.maximum(np.maximum(r, g), b)
     mn = np.minimum(np.minimum(r, g), b)
     delta = mx - mn
-    h = np.zeros_like(r)
     nz = delta > 0
     r_is = nz & (mx == r)
     g_is = nz & (mx == g) & ~r_is
     b_is = nz & (mx == b) & ~r_is & ~g_is
+    # full-plane arithmetic + np.where instead of masked gather/scatter
+    # (the six boolean fancy-index ops dominated this kernel); the
+    # branch divisions are the same elementwise ops on the selected
+    # lanes, so results are bit-identical — junk lanes (delta == 0 ->
+    # inf/nan) are discarded by the where chain
     with np.errstate(invalid="ignore", divide="ignore"):
-        h[r_is] = 60.0 * np.mod((g[r_is] - b[r_is]) / delta[r_is], 6.0)
-        h[g_is] = 60.0 * ((b[g_is] - r[g_is]) / delta[g_is] + 2.0)
-        h[b_is] = 60.0 * ((r[b_is] - g[b_is]) / delta[b_is] + 4.0)
-    h = np.mod(h, 360.0)
-    s = np.zeros_like(r)
-    pos = mx > 0
-    s[pos] = delta[pos] / mx[pos]
+        hr = 60.0 * np.mod((g - b) / delta, 6.0)
+        hg = 60.0 * ((b - r) / delta + 2.0)
+        hb = 60.0 * ((r - g) / delta + 4.0)
+        h = np.where(r_is, hr,
+                     np.where(g_is, hg, np.where(b_is, hb, 0.0)))
+        h = np.mod(h, 360.0)
+        s = np.where(mx > 0, delta / mx, 0.0)
     s = np.minimum(s, MAX_SATURATION)
     v = np.minimum(mx, MAX_VALUE)
     return h, s, v
