@@ -330,3 +330,80 @@ def shingles_arrow(texts, k: int):
         first.sort()
         return g_doc[first], grams.take(pa.array(first))
     return g_doc[:0], grams
+
+
+def repetition_arrow(texts):
+    """Per-doc Gopher repetition integers for one Arrow batch of texts —
+    identical values to the explode+groupBy form of
+    text.repetition_stats: n_words / n_distinct over space-split
+    nonempty words, top_bg = max multiplicity of any adjacent word
+    bigram, n_bg = n_words - 1 (== the bigram count). Docs with < 2
+    words are dropped, exactly like the explode of an empty array.
+
+    Word identity is exact string equality via dictionary_encode, and a
+    bigram string "a b" equals "c d" iff a == c and b == d (words are
+    space-split so contain no spaces) — so bigram identity is the code
+    PAIR and no gram strings are ever assembled or hashed.
+
+    Returns (keep mask over the batch's docs, n_words, n_distinct,
+    top_bg, n_bg) with the stat arrays already filtered to kept docs.
+    """
+    import pyarrow.compute as pc
+
+    sp = pc.split_pattern(texts, " ")
+    flat = sp.flatten()
+    if hasattr(flat, "combine_chunks"):
+        flat = flat.combine_chunks()
+    doc_off = np.asarray(sp.offsets, dtype=np.int64)
+    n_flat = len(flat)
+    if n_flat:
+        wlens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+    else:
+        wlens = np.zeros(0, dtype=np.int64)
+    keep_w = wlens > 0
+    ck = np.concatenate([[0], np.cumsum(keep_w, dtype=np.int64)])
+    n_words = ck[doc_off[1:]] - ck[doc_off[:-1]]
+    ndocs = n_words.size
+    if n_flat:
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)[keep_w]
+        vsize = np.int64(len(enc.dictionary))
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        vsize = np.int64(1)
+    docw = np.repeat(np.arange(ndocs, dtype=np.int64), n_words)
+    if codes.size:
+        o = np.lexsort((codes, docw))
+        dc = docw[o]
+        cc = codes[o]
+        nr = np.empty(dc.size, dtype=bool)
+        nr[0] = True
+        nr[1:] = (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])
+        n_distinct = np.bincount(dc[nr], minlength=ndocs).astype(np.int64)
+    else:
+        n_distinct = np.zeros(ndocs, dtype=np.int64)
+    top_bg = np.zeros(ndocs, dtype=np.int64)
+    if codes.size > 1:
+        same = docw[1:] == docw[:-1]
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        db = docw[1:][same]
+        key = a * vsize + b
+        o2 = np.lexsort((key, db))
+        db = db[o2]
+        kb = key[o2]
+        nr2 = np.empty(db.size, dtype=bool)
+        nr2[0] = True
+        nr2[1:] = (db[1:] != db[:-1]) | (kb[1:] != kb[:-1])
+        rs = np.flatnonzero(nr2)
+        rl = np.diff(np.concatenate([rs, [db.size]]))
+        rdoc = db[rs]
+        dchg = np.empty(rdoc.size, dtype=bool)
+        dchg[0] = True
+        dchg[1:] = rdoc[1:] != rdoc[:-1]
+        gs = np.flatnonzero(dchg)
+        top_bg[rdoc[gs]] = np.maximum.reduceat(rl, gs)
+    keep = n_words >= 2
+    return (keep, n_words[keep].astype(np.int64),
+            n_distinct[keep], top_bg[keep],
+            (n_words[keep] - 1).astype(np.int64))

@@ -146,26 +146,65 @@ def bigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     impl: str = "arrow") -> DataFrame:
     """Gopher-style repetition signals: fraction of the doc covered by its
     most frequent word bigram, and the duplicate-word fraction
-    (1 - distinct/total). High values = boilerplate / spam."""
-    words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
-    # <2 words -> no bigrams -> doc dropped by the explode (consistent
-    # with the DuckDB oracle; avoids engine-divergent concat-null rules)
-    bigrams = (f"case when size({words}) < 2 then array() "
-               f"else transform(sequence(1, size({words}) - 1), "
-               f"i -> concat(element_at({words}, i), ' ', "
-               f"element_at({words}, i + 1))) end")
-    base = docs.select(
-        F.col(id_col),
-        F.size(F.expr(words)).alias("n_words"),
-        F.size(F.expr(f"array_distinct({words})")).alias("n_distinct"),
-        F.explode(F.expr(bigrams)).alias("bg"))
-    counts = (base.groupBy(id_col, "n_words", "n_distinct", "bg")
-              .agg(F.count("*").alias("cnt")))
-    top = (counts.groupBy(id_col, "n_words", "n_distinct")
-           .agg(F.max("cnt").alias("top_bg"), F.sum("cnt").alias("n_bg")))
+    (1 - distinct/total). High values = boilerplate / spam.
+
+    ``impl="arrow"`` (default, r7): the statistic is entirely row-local,
+    so the per-doc integers (n_words / n_distinct / top-bigram
+    multiplicity / bigram count) come from ONE vectorized mapInArrow
+    stage — no explode, no groupBy, ZERO shuffles (the old form shuffled
+    the whole bigram stream twice, keyed by (doc, bigram string)). The
+    final round()/division expressions are the SAME Catalyst ops over
+    the same integer types, so outputs are bit-identical (parity
+    test-pinned; the DuckDB oracle stays green unchanged).
+    ``impl="expr"`` keeps the explode+groupBy form as the parity oracle.
+    """
+    if impl == "arrow":
+        import pyarrow as pa
+
+        src = docs.select(id_col, text_col)
+        id_type = src.schema[id_col].dataType.simpleString()
+
+        def f(batches):
+            import numpy as np
+            from photohive_spark.fast_hash import repetition_arrow
+            for b in batches:
+                names = b.schema.names
+                keep, nw, nd, tb, nb = repetition_arrow(
+                    b.column(names.index(text_col)))
+                if not keep.any():
+                    continue
+                ids = b.column(names.index(id_col)).filter(pa.array(keep))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(nw.astype(np.int32)),
+                     pa.array(nd.astype(np.int32)),
+                     pa.array(tb), pa.array(nb)],
+                    [id_col, "n_words", "n_distinct", "top_bg", "n_bg"])
+
+        top = src.mapInArrow(
+            f, f"{id_col} {id_type}, n_words int, n_distinct int, "
+               f"top_bg bigint, n_bg bigint")
+    else:
+        words = f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+        # <2 words -> no bigrams -> doc dropped by the explode (consistent
+        # with the DuckDB oracle; avoids engine-divergent concat-null rules)
+        bigrams = (f"case when size({words}) < 2 then array() "
+                   f"else transform(sequence(1, size({words}) - 1), "
+                   f"i -> concat(element_at({words}, i), ' ', "
+                   f"element_at({words}, i + 1))) end")
+        base = docs.select(
+            F.col(id_col),
+            F.size(F.expr(words)).alias("n_words"),
+            F.size(F.expr(f"array_distinct({words})")).alias("n_distinct"),
+            F.explode(F.expr(bigrams)).alias("bg"))
+        counts = (base.groupBy(id_col, "n_words", "n_distinct", "bg")
+                  .agg(F.count("*").alias("cnt")))
+        top = (counts.groupBy(id_col, "n_words", "n_distinct")
+               .agg(F.max("cnt").alias("top_bg"),
+                    F.sum("cnt").alias("n_bg")))
     return top.select(
         id_col, "n_words",
         F.round(F.col("top_bg") / F.col("n_bg"), 6).alias("top_bigram_frac"),

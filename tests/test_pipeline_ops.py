@@ -1095,3 +1095,23 @@ def test_dup_span_stats_hash_grams_identical(spark):
                       dedup.dup_span_stats(df, k=4,
                                            hash_grams=True).collect()))
     assert exact == fast
+
+
+def test_repetition_stats_arrow_matches_expr(spark, sf_dir):
+    """r7: the zero-shuffle mapInArrow repetition path must emit the
+    exact row set of the explode+groupBy parity form — fixture corpus
+    plus adversarial edges (nulls, empties, multi-space runs, single
+    word, all-same words, unicode)."""
+    edge = spark.createDataFrame(
+        [("e0", None), ("e1", ""), ("e2", "   "), ("e3", "one"),
+         ("e4", "a a a a a a"), ("e5", "x y"), ("e6", "x  y   x  y"),
+         ("e7", "über café über café über"),
+         ("e8", "a b a b a b c a b")],
+        "doc_id string, text string")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    for src in (edge, docs):
+        fast = text.repetition_stats(src, id_col="doc_id")
+        ref = text.repetition_stats(src, id_col="doc_id", impl="expr")
+        assert fast.exceptAll(ref).count() == 0
+        assert ref.exceptAll(fast).count() == 0
