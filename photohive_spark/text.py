@@ -136,9 +136,15 @@ def bigram_logprob(tokens_df: DataFrame, id_col: str = "doc_id",
     lp = F.round(F.log((F.col("c_ab") + F.lit(float(alpha)))
                        / (F.col("c_a") + F.lit(float(alpha)) * F.col("v")))
                  * 1e6).cast("bigint")
-    scored = (bg.join(cab, on=["a", "b"]).join(ca, on="a").crossJoin(vocab)
+    # r7: fold the context counts and V into the bounded distinct-bigram
+    # table FIRST (cab rows only), so the per-instance stream passes
+    # through ONE equi-join instead of two joins + a crossJoin — same
+    # lp bigints from the same (c_ab, c_a, v) inputs, identical sums
+    st = (cab.join(ca, on="a").crossJoin(vocab)
+          .select("a", "b", lp.alias("lp")))
+    scored = (bg.join(st, on=["a", "b"])
               .groupBy(id_col)
-              .agg(F.sum(lp).alias("lp_sum"), F.count("*").alias("n")))
+              .agg(F.sum("lp").alias("lp_sum"), F.count("*").alias("n")))
     return scored.select(
         F.col(id_col),
         F.col("n").cast("int").alias("n_bigrams"),
