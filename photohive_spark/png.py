@@ -97,10 +97,13 @@ def _unfilter_wavefront(filt: np.ndarray, prev_row: np.ndarray,
         x = FS[d, rr_lo:rr_hi + 1]
         if paeth:
             c = T[d - 2, rr_lo - 1:rr_hi]
-            p = a + b - c
-            pa = np.abs(p - a)
-            pb = np.abs(p - b)
-            pc = np.abs(p - c)
+            # libpng difference forms: p-a = b-c, p-b = a-c, p-c =
+            # (b-c)+(a-c) — integer-exact, two fewer full-array ops
+            d1 = b - c
+            d2 = a - c
+            pa = np.abs(d1)
+            pb = np.abs(d2)
+            pc = np.abs(d1 + d2)
             pred = np.where((pa <= pb) & (pa <= pc), a,
                             np.where(pb <= pc, b, c))
         else:
